@@ -1,0 +1,289 @@
+"""Shared Flax building blocks for the SD UNet and VAE (NHWC, TPU-first).
+
+Architecture follows Stable Diffusion 1.x (the reference's frozen backbone,
+loaded via diffusers in optimize_token.py:24-78); implementation is
+independent and idiomatic JAX: NHWC layout, bf16 compute with fp32 norms and
+fp32 attention softmax, explicit functional state.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stablekeypoints_tpu.ops.resize import upsample_bicubic
+
+__all__ = [
+    "timestep_embedding",
+    "TimestepEmbedder",
+    "ResnetBlock",
+    "Downsample",
+    "Upsample",
+    "CrossAttention",
+    "BasicTransformerBlock",
+    "Transformer2D",
+]
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, [cos, sin] order (SD convention).
+
+    t: [B] float/int timesteps -> [B, dim].
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class TimestepEmbedder(nn.Module):
+    """Two-layer MLP on the sinusoidal embedding."""
+
+    model_dim: int
+    emb_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        x = timestep_embedding(t, self.model_dim)
+        x = nn.Dense(self.emb_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        x = nn.Dense(self.emb_dim, dtype=self.dtype, name="linear_2")(x)
+        return x
+
+
+def _group_norm(x: jnp.ndarray, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """GroupNorm in fp32 over NHWC (channels last), cast back to input dtype."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    b, h, w, c = x.shape
+    xg = x.reshape(b, h * w, groups, c // groups)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(b, h, w, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return x.astype(dtype)
+
+
+class GroupNorm(nn.Module):
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return _group_norm(x, scale, bias, self.groups, self.eps)
+
+
+class ResnetBlock(nn.Module):
+    """GN -> SiLU -> conv -> (+time) -> GN -> SiLU -> conv, residual add."""
+
+    out_channels: int
+    use_time_emb: bool = True
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        residual = x
+        h = GroupNorm(eps=self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
+                nn.silu(temb)
+            )
+            h = h + t[:, None, None, :]
+        h = GroupNorm(eps=self.eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = nn.Conv(
+                self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return residual + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv. `asymmetric_pad` matches the VAE encoder variant."""
+
+    out_channels: int
+    asymmetric_pad: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
+        return nn.Conv(
+            self.out_channels, (3, 3), strides=2, padding=pad, dtype=self.dtype, name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x then 3x3 conv."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when no context is given.
+
+    When `capture_res` is passed to __call__, additionally computes the
+    upsampled-query token attention map of the reference's patched forward
+    (ptp_utils.py:508-538): hidden states are bicubically upsampled to
+    capture_res^2, re-projected to queries, and softmax(q k^T / sqrt(d))
+    over the text tokens is averaged over heads -> [B, res^2, T].
+    """
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        capture_res: Optional[int] = None,
+    ):
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+        scale = 1.0 / math.sqrt(self.dim_head)
+        ctx = x if context is None else context
+        m = ctx.shape[1]
+
+        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
+        q = to_q(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+
+        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim * scale, axis=-1)
+        out = jnp.einsum(
+            "bhnm,bmhd->bnhd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        out = out.reshape(b, n, inner).astype(x.dtype)
+        out = nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+        capture = None
+        if capture_res is not None:
+            s = int(round(math.sqrt(n)))
+            x_sq = x.reshape(b, s, s, x.shape[-1])
+            x_up = upsample_bicubic(x_sq, capture_res, capture_res)
+            x_up = x_up.reshape(b, capture_res * capture_res, x.shape[-1])
+            q_up = to_q(x_up).reshape(b, capture_res * capture_res, self.heads, self.dim_head)
+            sim_up = jnp.einsum(
+                "bnhd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
+            )
+            attn_up = jax.nn.softmax(sim_up * scale, axis=-1)
+            capture = attn_up.mean(axis=1)  # [B, res^2, T], fp32
+
+        return out, capture
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (project to 2*4*dim, gate with GELU)."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype, name="proj_in")(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(g.astype(jnp.float32), approximate=False).astype(a.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in fp32, cast back."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return x.astype(dtype)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> cross-attn -> GEGLU FF, pre-LN, residual."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, capture_res: Optional[int] = None):
+        h, _ = CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
+            LayerNorm32(name="norm1")(x)
+        )
+        x = x + h
+        h, capture = CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
+            LayerNorm32(name="norm2")(x), context, capture_res=capture_res
+        )
+        x = x + h
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
+            LayerNorm32(name="norm3")(x)
+        )
+        return x, capture
+
+
+class Transformer2D(nn.Module):
+    """GN -> 1x1 proj_in -> transformer blocks -> 1x1 proj_out, residual."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context, capture_res: Optional[int] = None):
+        b, h, w, c = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        x = GroupNorm(eps=1e-6, name="norm")(x)
+        x = nn.Conv(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        captures = []
+        for i in range(self.depth):
+            # only the first block of a transformer stack captures (depth>1
+            # stacks only exist in SDXL; SD1.5 always has depth 1)
+            res = capture_res if i == 0 else None
+            x, cap = BasicTransformerBlock(
+                inner, self.heads, self.dim_head, self.dtype, name=f"blocks_{i}"
+            )(x, context, capture_res=res)
+            if cap is not None:
+                captures.append(cap)
+        x = x.reshape(b, h, w, inner)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(x)
+        capture = captures[0] if captures else None
+        return x + residual, capture

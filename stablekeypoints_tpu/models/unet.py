@@ -1,0 +1,224 @@
+"""Stable Diffusion UNet (Flax, NHWC) with functional attention capture.
+
+Replaces the reference's L0/L1 stack (diffusers UNet + monkey-patched
+`CrossAttention.forward` + per-device `AttentionStore`,
+ptp_utils.py:472-573, optimize_token.py:24-78) with a single functional
+forward: cross-attention layers in the up path *return* their
+upsampled-query token attention maps, so there is no hook/controller state
+and the whole step jits cleanly.
+
+Capture rule (matches the reference): up-path cross-attention layers whose
+query sequence length is <= 32^2, first 4 in execution order
+(ptp_utils.py:508-511). With 512^2 inputs that is the three 16^2 layers of
+the second up block and the first 32^2 layer of the third.
+
+TPU-first extra: `truncate=True` stops the forward as soon as the last
+captured map is produced — the remaining up-path compute (including the
+whole 64^2 block, the most conv-heavy part of the UNet) contributes nothing
+to the keypoint losses, which only read the captured maps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stablekeypoints_tpu.models.layers import (
+    Downsample,
+    GroupNorm,
+    ResnetBlock,
+    TimestepEmbedder,
+    Transformer2D,
+    Upsample,
+)
+
+__all__ = ["UNetConfig", "UNet", "SD15_CONFIG", "tiny_unet_config"]
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_channels: tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    # which down blocks have cross-attention transformers (mirrored in up path)
+    attn_blocks: tuple[bool, ...] = (True, True, True, False)
+    # transformer depth per block (SD1.5: all 1; SDXL: (0, 2, 10))
+    transformer_depth: tuple[int, ...] = (1, 1, 1, 1)
+    num_heads: int = 8  # SD1.x: fixed 8 heads, head dim = channels / 8
+    head_dim_fixed: Optional[int] = None  # SDXL: fixed 64-dim heads instead
+    context_dim: int = 768
+    time_embed_dim_mult: int = 4
+    # additional conditioning (SDXL micro-conditioning); 0 = disabled
+    addition_emb_dim: int = 0
+    max_capture_layers: int = 4
+    capture_max_seq: int = 32 * 32
+
+    def heads_for(self, channels: int) -> tuple[int, int]:
+        if self.head_dim_fixed is not None:
+            return channels // self.head_dim_fixed, self.head_dim_fixed
+        return self.num_heads, channels // self.num_heads
+
+
+SD15_CONFIG = UNetConfig()
+
+
+def tiny_unet_config(context_dim: int = 32) -> UNetConfig:
+    """A scaled-down config with the same topology, for tests."""
+    return UNetConfig(
+        block_channels=(32, 64, 128, 128),
+        num_heads=4,
+        context_dim=context_dim,
+    )
+
+
+class DownBlock(nn.Module):
+    config: UNetConfig
+    block_idx: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        cfg = self.config
+        ch = cfg.block_channels[self.block_idx]
+        has_attn = cfg.attn_blocks[self.block_idx]
+        heads, dim_head = cfg.heads_for(ch)
+        skips = []
+        for i in range(cfg.layers_per_block):
+            x = ResnetBlock(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            if has_attn:
+                x, _ = Transformer2D(
+                    heads,
+                    dim_head,
+                    depth=cfg.transformer_depth[self.block_idx],
+                    dtype=self.dtype,
+                    name=f"attentions_{i}",
+                )(x, context)
+            skips.append(x)
+        if self.block_idx < len(cfg.block_channels) - 1:
+            x = Downsample(ch, dtype=self.dtype, name="downsample")(x)
+            skips.append(x)
+        return x, skips
+
+
+class MidBlock(nn.Module):
+    config: UNetConfig
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, temb, context):
+        cfg = self.config
+        ch = cfg.block_channels[-1]
+        heads, dim_head = cfg.heads_for(ch)
+        x = ResnetBlock(ch, dtype=self.dtype, name="resnets_0")(x, temb)
+        x, _ = Transformer2D(
+            heads,
+            dim_head,
+            depth=cfg.transformer_depth[-1] if cfg.attn_blocks[-1] else 1,
+            dtype=self.dtype,
+            name="attentions_0",
+        )(x, context)
+        x = ResnetBlock(ch, dtype=self.dtype, name="resnets_1")(x, temb)
+        return x
+
+
+class UpBlock(nn.Module):
+    """One up block; returns early if truncation hits inside it."""
+
+    config: UNetConfig
+    block_idx: int  # index into the *reversed* channel list
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, skips, temb, context, capture_state):
+        cfg = self.config
+        rev_channels = tuple(reversed(cfg.block_channels))
+        rev_attn = tuple(reversed(cfg.attn_blocks))
+        rev_depth = tuple(reversed(cfg.transformer_depth))
+        ch = rev_channels[self.block_idx]
+        has_attn = rev_attn[self.block_idx]
+        heads, dim_head = cfg.heads_for(ch)
+        capture_res, truncate, captures = capture_state
+
+        n_layers = cfg.layers_per_block + 1
+        for i in range(n_layers):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+            x = ResnetBlock(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            if has_attn:
+                seq = x.shape[1] * x.shape[2]
+                do_capture = (
+                    capture_res is not None
+                    and seq <= cfg.capture_max_seq
+                    and len(captures) < cfg.max_capture_layers
+                )
+                x, cap = Transformer2D(
+                    heads,
+                    dim_head,
+                    depth=rev_depth[self.block_idx],
+                    dtype=self.dtype,
+                    name=f"attentions_{i}",
+                )(x, context, capture_res=capture_res if do_capture else None)
+                if cap is not None:
+                    captures.append(cap)
+                    if truncate and len(captures) >= cfg.max_capture_layers:
+                        return x, captures, True
+        if self.block_idx < len(rev_channels) - 1:
+            x = Upsample(ch, dtype=self.dtype, name="upsample")(x)
+        return x, captures, False
+
+
+class UNet(nn.Module):
+    """SD UNet. __call__ returns (eps_prediction, [captured maps]).
+
+    captured maps: list of [B, capture_res^2, T] fp32 arrays, execution
+    order. When `truncate=True` and capture is active, eps is None.
+    """
+
+    config: UNetConfig = SD15_CONFIG
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        latents: jnp.ndarray,  # [B, H, W, C] noisy latents (NHWC)
+        timesteps: jnp.ndarray,  # [B]
+        context: jnp.ndarray,  # [B, T, context_dim]
+        capture_res: Optional[int] = None,
+        truncate: bool = False,
+    ):
+        cfg = self.config
+        model_dim = cfg.block_channels[0]
+        temb_dim = model_dim * cfg.time_embed_dim_mult
+
+        temb = TimestepEmbedder(model_dim, temb_dim, dtype=self.dtype, name="time_embedding")(
+            timesteps
+        )
+        x = latents.astype(self.dtype)
+        context = context.astype(self.dtype)
+        x = nn.Conv(model_dim, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+
+        skips = [x]
+        for b in range(len(cfg.block_channels)):
+            x, block_skips = DownBlock(cfg, b, self.dtype, name=f"down_{b}")(
+                x, temb, context
+            )
+            skips.extend(block_skips)
+
+        x = MidBlock(cfg, self.dtype, name="mid")(x, temb, context)
+
+        captures: list[jnp.ndarray] = []
+        for b in range(len(cfg.block_channels)):
+            x, captures, truncated = UpBlock(cfg, b, self.dtype, name=f"up_{b}")(
+                x, skips, temb, context, (capture_res, truncate, captures)
+            )
+            if truncated:
+                return None, captures
+
+        x = GroupNorm(name="conv_norm_out")(x)
+        x = nn.silu(x)
+        eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        return eps.astype(jnp.float32), captures

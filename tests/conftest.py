@@ -1,0 +1,25 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding is validated on a virtual CPU mesh (the TPU analog of a
+fake distributed backend; SURVEY.md §4). The environment's sitecustomize may
+pre-import jax and pin an accelerator platform programmatically, so we both
+set the env vars and update jax.config before any backend initializes.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
