@@ -59,10 +59,15 @@ class TimestepEmbedder(nn.Module):
 
 
 def _group_norm(x: jnp.ndarray, scale, bias, groups: int = 32, eps: float = 1e-5):
-    """GroupNorm in fp32 over NHWC (channels last), cast back to input dtype."""
+    """GroupNorm in fp32 over NHWC (channels last), cast back to input dtype.
+
+    Channel counts that 32 doesn't divide (tiny test configs) fall back to
+    gcd(groups, channels); real SD channel counts are all multiples of 32.
+    """
     dtype = x.dtype
     x = x.astype(jnp.float32)
     b, h, w, c = x.shape
+    groups = math.gcd(groups, c)
     xg = x.reshape(b, h * w, groups, c // groups)
     mean = xg.mean(axis=(1, 3), keepdims=True)
     var = xg.var(axis=(1, 3), keepdims=True)

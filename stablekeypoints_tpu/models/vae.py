@@ -1,0 +1,145 @@
+"""AutoencoderKL (SD VAE), Flax NHWC.
+
+The pipeline only needs the encoder's posterior mean (`image2latent`,
+ptp_utils.py:289-304, x0.18215 scaling) and — for generation — the decoder
+(ptp_utils.py:315-321). Frozen; wrapped in stop_gradient by callers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stablekeypoints_tpu.models.layers import Downsample, GroupNorm, ResnetBlock, Upsample
+
+__all__ = ["VAEConfig", "Encoder", "Decoder", "VAE", "SD_VAE_CONFIG", "SCALING_FACTOR"]
+
+SCALING_FACTOR = 0.18215  # ptp_utils.py:303
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    latent_channels: int = 4
+    block_channels: tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+
+
+SD_VAE_CONFIG = VAEConfig()
+
+
+def tiny_vae_config() -> VAEConfig:
+    return VAEConfig(block_channels=(16, 32, 32, 32), layers_per_block=1)
+
+
+class AttnBlock(nn.Module):
+    """Single-head self-attention over spatial positions (VAE mid block)."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(eps=1e-6, name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
+        sim = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(sim / math.sqrt(c), axis=-1)
+        out = jnp.einsum(
+            "bnm,bmc->bnc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+        return residual + out.reshape(b, h, w, c)
+
+
+class Encoder(nn.Module):
+    config: VAEConfig = SD_VAE_CONFIG
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        x = x.astype(self.dtype)
+        x = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        for b, ch in enumerate(cfg.block_channels):
+            for i in range(cfg.layers_per_block):
+                x = ResnetBlock(
+                    ch, use_time_emb=False, eps=1e-6, dtype=self.dtype,
+                    name=f"down_{b}_resnets_{i}",
+                )(x)
+            if b < len(cfg.block_channels) - 1:
+                x = Downsample(
+                    ch, asymmetric_pad=True, dtype=self.dtype, name=f"down_{b}_downsample"
+                )(x)
+        ch = cfg.block_channels[-1]
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0")(x)
+        x = AttnBlock(dtype=self.dtype, name="mid_attn")(x)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1")(x)
+        x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        moments = nn.Conv(
+            cfg.latent_channels * 2, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(x)
+        moments = nn.Conv(
+            cfg.latent_channels * 2, (1, 1), dtype=self.dtype, name="quant_conv"
+        )(moments)
+        return moments.astype(jnp.float32)  # [B, h/8, w/8, 2*latent]
+
+
+class Decoder(nn.Module):
+    config: VAEConfig = SD_VAE_CONFIG
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, z):
+        cfg = self.config
+        z = z.astype(self.dtype)
+        z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")(z)
+        ch = cfg.block_channels[-1]
+        x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0")(x)
+        x = AttnBlock(dtype=self.dtype, name="mid_attn")(x)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1")(x)
+        for b, ch in enumerate(reversed(cfg.block_channels)):
+            for i in range(cfg.layers_per_block + 1):
+                x = ResnetBlock(
+                    ch, use_time_emb=False, eps=1e-6, dtype=self.dtype,
+                    name=f"up_{b}_resnets_{i}",
+                )(x)
+            if b < len(cfg.block_channels) - 1:
+                x = Upsample(ch, dtype=self.dtype, name=f"up_{b}_upsample")(x)
+        x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
+        x = nn.silu(x)
+        x = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)
+
+
+class VAE(nn.Module):
+    """Encode/decode wrapper. `encode_mean` returns the posterior mean."""
+
+    config: VAEConfig = SD_VAE_CONFIG
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = Encoder(self.config, self.dtype)
+        self.decoder = Decoder(self.config, self.dtype)
+
+    def encode_mean(self, images: jnp.ndarray) -> jnp.ndarray:
+        """images in [-1, 1], NHWC -> scaled latent mean [B, H/8, W/8, 4]."""
+        moments = self.encoder(images)
+        mean = moments[..., : self.config.latent_channels]
+        return mean * SCALING_FACTOR
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(latents / SCALING_FACTOR)
+
+    def __call__(self, images):
+        # full autoencode; used for initialization so both halves get params
+        return self.decode(self.encode_mean(images))

@@ -1,0 +1,334 @@
+"""Parameter initialization and HF-checkpoint conversion.
+
+The reference loads `sd-legacy/stable-diffusion-v1-5` via diffusers
+(optimize_token.py:37-39). Here, pretrained weights are converted from a
+local diffusers-layout checkpoint directory (safetensors or torch .bin)
+into the Flax parameter tree; a deterministic random init is provided for
+benchmarks/tests in weightless environments. The text encoder is never
+needed: the learned context replaces its output entirely
+(ptp_utils.py:649-650).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablekeypoints_tpu.models.unet import UNet, UNetConfig
+from stablekeypoints_tpu.models.vae import VAE, VAEConfig
+
+__all__ = [
+    "init_unet_params",
+    "init_vae_params",
+    "cast_params",
+    "load_unet_params",
+    "load_vae_params",
+    "convert_unet_state_dict",
+    "convert_vae_state_dict",
+]
+
+
+# ---------------------------------------------------------------------------
+# initialization
+
+
+def init_unet_params(key: jax.Array, config: UNetConfig, sample_hw: int = 64):
+    model = UNet(config)
+    latents = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 8, config.context_dim))
+    return model.init(key, latents, t, ctx)["params"]
+
+
+def init_vae_params(key: jax.Array, config: VAEConfig, sample_hw: int = 64):
+    model = VAE(config)
+    images = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
+    return model.init(key, images)["params"]
+
+
+def cast_params(params, dtype=jnp.bfloat16):
+    """Cast matmul/conv weights to `dtype`; keep normalization params fp32.
+
+    Norm parameters are identified by a path component containing 'norm'
+    (norm1/norm2/norm3/conv_norm_out/group norms named 'norm').
+    """
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        if any("norm" in p for p in path):
+            return tree.astype(jnp.float32)
+        return tree.astype(dtype)
+
+    return walk(params, ())
+
+
+# ---------------------------------------------------------------------------
+# diffusers state-dict conversion
+
+def _conv_w(x: np.ndarray) -> np.ndarray:
+    return np.transpose(x, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _dense_w(x: np.ndarray) -> np.ndarray:
+    return np.transpose(x)  # [out, in] -> [in, out]
+
+
+def _set(tree: dict, path: str, value: np.ndarray):
+    parts = path.split(".")
+    node = tree
+    for p in parts[:-1]:
+        node = node.setdefault(p, {})
+    node[parts[-1]] = jnp.asarray(value)
+
+
+def _map_resnet(src: str) -> list[tuple[str, str, str]]:
+    """(suffix in diffusers, suffix in ours, kind) for a resnet block."""
+    return [
+        ("norm1.weight", "norm1.scale", "raw"),
+        ("norm1.bias", "norm1.bias", "raw"),
+        ("conv1.weight", "conv1.kernel", "conv"),
+        ("conv1.bias", "conv1.bias", "raw"),
+        ("time_emb_proj.weight", "time_emb_proj.kernel", "dense"),
+        ("time_emb_proj.bias", "time_emb_proj.bias", "raw"),
+        ("norm2.weight", "norm2.scale", "raw"),
+        ("norm2.bias", "norm2.bias", "raw"),
+        ("conv2.weight", "conv2.kernel", "conv"),
+        ("conv2.bias", "conv2.bias", "raw"),
+        ("conv_shortcut.weight", "conv_shortcut.kernel", "conv"),
+        ("conv_shortcut.bias", "conv_shortcut.bias", "raw"),
+    ]
+
+
+def _map_transformer(depth: int) -> list[tuple[str, str, str]]:
+    rules = [
+        ("norm.weight", "norm.scale", "raw"),
+        ("norm.bias", "norm.bias", "raw"),
+        ("proj_in.weight", "proj_in.kernel", "conv"),
+        ("proj_in.bias", "proj_in.bias", "raw"),
+        ("proj_out.weight", "proj_out.kernel", "conv"),
+        ("proj_out.bias", "proj_out.bias", "raw"),
+    ]
+    for d in range(depth):
+        tb, ours = f"transformer_blocks.{d}", f"blocks_{d}"
+        for attn in ("attn1", "attn2"):
+            rules += [
+                (f"{tb}.{attn}.to_q.weight", f"{ours}.{attn}.to_q.kernel", "dense"),
+                (f"{tb}.{attn}.to_k.weight", f"{ours}.{attn}.to_k.kernel", "dense"),
+                (f"{tb}.{attn}.to_v.weight", f"{ours}.{attn}.to_v.kernel", "dense"),
+                (f"{tb}.{attn}.to_out.0.weight", f"{ours}.{attn}.to_out.kernel", "dense"),
+                (f"{tb}.{attn}.to_out.0.bias", f"{ours}.{attn}.to_out.bias", "raw"),
+            ]
+        for n in ("norm1", "norm2", "norm3"):
+            rules += [
+                (f"{tb}.{n}.weight", f"{ours}.{n}.scale", "raw"),
+                (f"{tb}.{n}.bias", f"{ours}.{n}.bias", "raw"),
+            ]
+        rules += [
+            (f"{tb}.ff.net.0.proj.weight", f"{ours}.ff.proj_in.kernel", "dense"),
+            (f"{tb}.ff.net.0.proj.bias", f"{ours}.ff.proj_in.bias", "raw"),
+            (f"{tb}.ff.net.2.weight", f"{ours}.ff.proj_out.kernel", "dense"),
+            (f"{tb}.ff.net.2.bias", f"{ours}.ff.proj_out.bias", "raw"),
+        ]
+    return rules
+
+
+_KIND: dict[str, Callable[[np.ndarray], np.ndarray]] = {
+    "raw": lambda x: x,
+    "conv": _conv_w,
+    "dense": _dense_w,
+}
+
+
+def unet_conversion_rules(config: UNetConfig) -> list[tuple[str, str, str]]:
+    """(diffusers name, our param path, transform kind) for every UNet param."""
+    rules: list[tuple[str, str, str]] = [
+        ("conv_in.weight", "conv_in.kernel", "conv"),
+        ("conv_in.bias", "conv_in.bias", "raw"),
+        ("time_embedding.linear_1.weight", "time_embedding.linear_1.kernel", "dense"),
+        ("time_embedding.linear_1.bias", "time_embedding.linear_1.bias", "raw"),
+        ("time_embedding.linear_2.weight", "time_embedding.linear_2.kernel", "dense"),
+        ("time_embedding.linear_2.bias", "time_embedding.linear_2.bias", "raw"),
+        ("conv_norm_out.weight", "conv_norm_out.scale", "raw"),
+        ("conv_norm_out.bias", "conv_norm_out.bias", "raw"),
+        ("conv_out.weight", "conv_out.kernel", "conv"),
+        ("conv_out.bias", "conv_out.bias", "raw"),
+    ]
+    n_blocks = len(config.block_channels)
+    for b in range(n_blocks):
+        depth = config.transformer_depth[b]
+        for i in range(config.layers_per_block):
+            for s, d, k in _map_resnet(f"down.{b}.{i}"):
+                rules.append(
+                    (f"down_blocks.{b}.resnets.{i}.{s}", f"down_{b}.resnets_{i}.{d}", k)
+                )
+            if config.attn_blocks[b]:
+                for s, d, k in _map_transformer(depth):
+                    rules.append(
+                        (
+                            f"down_blocks.{b}.attentions.{i}.{s}",
+                            f"down_{b}.attentions_{i}.{d}",
+                            k,
+                        )
+                    )
+        if b < n_blocks - 1:
+            rules += [
+                (f"down_blocks.{b}.downsamplers.0.conv.weight", f"down_{b}.downsample.conv.kernel", "conv"),
+                (f"down_blocks.{b}.downsamplers.0.conv.bias", f"down_{b}.downsample.conv.bias", "raw"),
+            ]
+    # mid
+    for i in (0, 1):
+        for s, d, k in _map_resnet("mid"):
+            rules.append((f"mid_block.resnets.{i}.{s}", f"mid.resnets_{i}.{d}", k))
+    mid_depth = config.transformer_depth[-1] if config.attn_blocks[-1] else 1
+    for s, d, k in _map_transformer(mid_depth):
+        rules.append((f"mid_block.attentions.0.{s}", f"mid.attentions_0.{d}", k))
+    # up path (our up_{b} uses reversed channels; diffusers up_blocks too)
+    rev_attn = tuple(reversed(config.attn_blocks))
+    rev_depth = tuple(reversed(config.transformer_depth))
+    for b in range(n_blocks):
+        for i in range(config.layers_per_block + 1):
+            for s, d, k in _map_resnet("up"):
+                rules.append(
+                    (f"up_blocks.{b}.resnets.{i}.{s}", f"up_{b}.resnets_{i}.{d}", k)
+                )
+            if rev_attn[b]:
+                for s, d, k in _map_transformer(rev_depth[b]):
+                    rules.append(
+                        (f"up_blocks.{b}.attentions.{i}.{s}", f"up_{b}.attentions_{i}.{d}", k)
+                    )
+        if b < n_blocks - 1:
+            rules += [
+                (f"up_blocks.{b}.upsamplers.0.conv.weight", f"up_{b}.upsample.conv.kernel", "conv"),
+                (f"up_blocks.{b}.upsamplers.0.conv.bias", f"up_{b}.upsample.conv.bias", "raw"),
+            ]
+    return rules
+
+
+def convert_unet_state_dict(sd: dict[str, np.ndarray], config: UNetConfig) -> dict:
+    """diffusers UNet2DConditionModel state dict -> our param tree."""
+    out: dict[str, Any] = {}
+    for src, dst, kind in unet_conversion_rules(config):
+        if src in sd:
+            _set(out, dst, _KIND[kind](np.asarray(sd[src])))
+    return out
+
+
+def _map_vae_resnet(prefix_src: str, prefix_dst: str) -> list[tuple[str, str, str]]:
+    return [
+        (f"{prefix_src}.{s}", f"{prefix_dst}.{d}", k)
+        for s, d, k in _map_resnet("vae")
+        if not s.startswith("time_emb")
+    ]
+
+
+def vae_conversion_rules(config: VAEConfig) -> list[tuple[str, str, str]]:
+    rules: list[tuple[str, str, str]] = []
+    n = len(config.block_channels)
+    # encoder
+    rules += [
+        ("encoder.conv_in.weight", "encoder.conv_in.kernel", "conv"),
+        ("encoder.conv_in.bias", "encoder.conv_in.bias", "raw"),
+        ("encoder.conv_norm_out.weight", "encoder.conv_norm_out.scale", "raw"),
+        ("encoder.conv_norm_out.bias", "encoder.conv_norm_out.bias", "raw"),
+        ("encoder.conv_out.weight", "encoder.conv_out.kernel", "conv"),
+        ("encoder.conv_out.bias", "encoder.conv_out.bias", "raw"),
+        ("quant_conv.weight", "encoder.quant_conv.kernel", "conv"),
+        ("quant_conv.bias", "encoder.quant_conv.bias", "raw"),
+        ("post_quant_conv.weight", "decoder.post_quant_conv.kernel", "conv"),
+        ("post_quant_conv.bias", "decoder.post_quant_conv.bias", "raw"),
+        ("decoder.conv_in.weight", "decoder.conv_in.kernel", "conv"),
+        ("decoder.conv_in.bias", "decoder.conv_in.bias", "raw"),
+        ("decoder.conv_norm_out.weight", "decoder.conv_norm_out.scale", "raw"),
+        ("decoder.conv_norm_out.bias", "decoder.conv_norm_out.bias", "raw"),
+        ("decoder.conv_out.weight", "decoder.conv_out.kernel", "conv"),
+        ("decoder.conv_out.bias", "decoder.conv_out.bias", "raw"),
+    ]
+    for b in range(n):
+        for i in range(config.layers_per_block):
+            rules += _map_vae_resnet(
+                f"encoder.down_blocks.{b}.resnets.{i}", f"encoder.down_{b}_resnets_{i}"
+            )
+        if b < n - 1:
+            rules += [
+                (f"encoder.down_blocks.{b}.downsamplers.0.conv.weight", f"encoder.down_{b}_downsample.conv.kernel", "conv"),
+                (f"encoder.down_blocks.{b}.downsamplers.0.conv.bias", f"encoder.down_{b}_downsample.conv.bias", "raw"),
+            ]
+        for i in range(config.layers_per_block + 1):
+            rules += _map_vae_resnet(
+                f"decoder.up_blocks.{b}.resnets.{i}", f"decoder.up_{b}_resnets_{i}"
+            )
+        if b < n - 1:
+            rules += [
+                (f"decoder.up_blocks.{b}.upsamplers.0.conv.weight", f"decoder.up_{b}_upsample.conv.kernel", "conv"),
+                (f"decoder.up_blocks.{b}.upsamplers.0.conv.bias", f"decoder.up_{b}_upsample.conv.bias", "raw"),
+            ]
+    for side in ("encoder", "decoder"):
+        for i in (0, 1):
+            rules += _map_vae_resnet(f"{side}.mid_block.resnets.{i}", f"{side}.mid_resnets_{i}")
+        a = f"{side}.mid_block.attentions.0"
+        rules += [
+            (f"{a}.group_norm.weight", f"{side}.mid_attn.norm.scale", "raw"),
+            (f"{a}.group_norm.bias", f"{side}.mid_attn.norm.bias", "raw"),
+        ]
+        for qkv in ("to_q", "to_k", "to_v"):
+            rules += [
+                (f"{a}.{qkv}.weight", f"{side}.mid_attn.{qkv}.kernel", "dense"),
+                (f"{a}.{qkv}.bias", f"{side}.mid_attn.{qkv}.bias", "raw"),
+            ]
+        rules += [
+            (f"{a}.to_out.0.weight", f"{side}.mid_attn.to_out.kernel", "dense"),
+            (f"{a}.to_out.0.bias", f"{side}.mid_attn.to_out.bias", "raw"),
+        ]
+    return rules
+
+
+def convert_vae_state_dict(sd: dict[str, np.ndarray], config: VAEConfig) -> dict:
+    out: dict[str, Any] = {}
+    for src, dst, kind in vae_conversion_rules(config):
+        if src in sd:
+            _set(out, dst, _KIND[kind](np.asarray(sd[src])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# checkpoint directory loading
+
+
+def _load_state_dict(component_dir: str) -> dict[str, np.ndarray]:
+    """Load a diffusers component dir (safetensors preferred, else torch .bin)."""
+    st_files = [f for f in os.listdir(component_dir) if f.endswith(".safetensors")]
+    if st_files:
+        from safetensors.numpy import load_file
+
+        sd: dict[str, np.ndarray] = {}
+        for f in sorted(st_files):
+            sd.update(load_file(os.path.join(component_dir, f)))
+        return sd
+    bin_files = [f for f in os.listdir(component_dir) if f.endswith(".bin")]
+    if bin_files:
+        import torch
+
+        sd = {}
+        for f in sorted(bin_files):
+            raw = torch.load(
+                os.path.join(component_dir, f), map_location="cpu", weights_only=True
+            )
+            sd.update({k: v.float().numpy() for k, v in raw.items()})
+        return sd
+    raise FileNotFoundError(f"no safetensors/bin weights in {component_dir}")
+
+
+def load_unet_params(model_dir: str, config: UNetConfig, dtype=jnp.bfloat16):
+    sd = _load_state_dict(os.path.join(model_dir, "unet"))
+    return cast_params(convert_unet_state_dict(sd, config), dtype)
+
+
+def load_vae_params(model_dir: str, config: VAEConfig, dtype=jnp.bfloat16):
+    sd = _load_state_dict(os.path.join(model_dir, "vae"))
+    return cast_params(convert_vae_state_dict(sd, config), dtype)
