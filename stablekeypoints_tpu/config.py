@@ -1,0 +1,109 @@
+"""Framework configuration.
+
+One dataclass mirroring the reference CLI surface (main.py:23-195, same flag
+names) plus TPU-specific knobs (dtype, mesh shape, truncated forward). Flat
+argparse in the reference; validated dataclass with per-dataset presets here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["Config", "DATASET_PRESETS", "apply_preset"]
+
+
+@dataclasses.dataclass
+class Config:
+    # network / checkpoint
+    model_type: str = "sd-legacy/stable-diffusion-v1-5"
+    model_path: Optional[str] = None  # local diffusers-layout dir; None = random init
+    my_token: Optional[str] = None  # accepted for CLI parity; unused offline
+
+    # dataset
+    dataset_loc: str = "~"
+    dataset_name: str = "celeba_aligned"
+    max_len: int = -1
+    validation: bool = False
+
+    # output
+    save_folder: str = "outputs"
+    wandb: bool = False
+    wandb_name: str = "temp"
+    visualize: bool = False
+
+    # optimization (stage 1)
+    lr: float = 5e-3
+    num_steps: int = 500
+    num_tokens: int = 500
+    batch_size: int = 4
+    sharpening_loss_weight: float = 100.0
+    equivariance_attn_loss_weight: float = 1000.0
+    sigma: float = 2.0
+    num_subjects: int = 1
+
+    # attention capture
+    feature_upsample_res: int = 128
+    layers: tuple[int, ...] = (0, 1, 2, 3)
+    noise_level: int = -1
+
+    # token selection
+    top_k_strategy: str = "gaussian"  # gaussian | entropy | consistent
+    furthest_point_num_samples: int = 25
+    top_k: int = 10
+    num_indices: int = 100
+    min_dist: float = 0.1
+
+    # keypoint extraction / eval
+    max_loc_strategy: str = "argmax"  # argmax | weighted_avg
+    evaluation_method: str = "inter_eye_distance"
+    max_num_points: int = 50_000
+
+    # augmentation
+    augment_degrees: float = 15.0
+    augment_scale: tuple[float, float] = (0.8, 1.0)
+    augment_translate: tuple[float, float] = (0.25, 0.25)
+    augmentation_iterations: int = 10
+
+    # TPU-specific
+    image_size: int = 512
+    dtype: str = "bfloat16"  # compute dtype for the UNet/VAE
+    data_parallel: int = -1  # -1 = all available devices
+    truncate_unet: bool = True  # stop the forward after the last captured map
+    eval_batch_images: int = 1  # test images folded into one sharded batch
+    seed: int = 0
+    checkpoint_every: int = 0  # 0 = only stage-end artifacts
+    log_every: int = 10
+
+    @property
+    def context_shape(self) -> tuple[int, int, int]:
+        return (1, self.num_tokens, 768)
+
+
+# README.md:50-56 guidance: 500 steps for humans/faces, 10k for others
+DATASET_PRESETS: dict[str, dict] = {
+    "celeba_aligned": {"evaluation_method": "inter_eye_distance"},
+    "celeba_wild": {"evaluation_method": "inter_eye_distance"},
+    "cub_aligned": {"evaluation_method": "visible", "num_steps": 10_000},
+    "cub_001": {"evaluation_method": "visible", "num_steps": 10_000},
+    "cub_002": {"evaluation_method": "visible", "num_steps": 10_000},
+    "cub_003": {"evaluation_method": "visible", "num_steps": 10_000},
+    "cub_all": {"evaluation_method": "visible", "num_steps": 10_000},
+    "deepfashion": {"evaluation_method": "pck", "num_steps": 10_000},
+    "taichi": {"evaluation_method": "mean_average_error", "num_steps": 10_000},
+    "human3.6m": {"evaluation_method": "orientation_invariant"},
+    "unaligned_human3.6m": {"evaluation_method": "orientation_invariant"},
+    "custom": {},
+}
+
+
+def apply_preset(cfg: Config) -> Config:
+    """Fill dataset-appropriate defaults the user did not override."""
+    preset = DATASET_PRESETS.get(cfg.dataset_name, {})
+    defaults = Config()
+    updates = {
+        k: v
+        for k, v in preset.items()
+        if getattr(cfg, k) == getattr(defaults, k)  # only untouched fields
+    }
+    return dataclasses.replace(cfg, **updates)

@@ -1,0 +1,109 @@
+"""Dataset protocol and host-side batch loader.
+
+Every adapter returns `{'img': [H, W, 3] float32 in [0,1] (NHWC),
+'kpts': [K, 2] normalized (y, x), 'visibility': [K]}` — the same sample
+contract as the reference's torch Datasets (SURVEY.md §2.2), in NHWC.
+
+The loader replaces torch DataLoader: shuffled epochs, fixed batch shapes,
+and a thread-pool prefetcher that overlaps image decode with device compute
+(the reference decodes synchronously on the training thread).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from typing import Iterator, Protocol
+
+import numpy as np
+from PIL import Image
+
+__all__ = ["KeypointDataset", "Loader", "load_image_rgb"]
+
+
+class KeypointDataset(Protocol):
+    def __len__(self) -> int: ...
+
+    def __getitem__(self, idx: int) -> dict: ...
+
+
+def load_image_rgb(path: str, image_size: int) -> np.ndarray:
+    """Decode + bilinear resize to [image_size, image_size, 3] float32 [0,1]."""
+    img = Image.open(path).convert("RGB")
+    if img.size != (image_size, image_size):
+        img = img.resize((image_size, image_size), Image.BILINEAR)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def _stack(samples: list[dict]) -> dict:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class Loader:
+    """Shuffled, prefetched, fixed-shape batch iterator."""
+
+    def __init__(
+        self,
+        dataset: KeypointDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        infinite: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 2,
+    ):
+        if len(dataset) == 0:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.infinite = infinite
+        self.prefetch = prefetch
+        self._rng = np.random.default_rng(seed)
+        self._pool = cf.ThreadPoolExecutor(max_workers=num_workers)
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        n = len(self.dataset)
+        while True:
+            order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+            end = n - (n % self.batch_size) if self.drop_last else n
+            if end == 0:  # dataset smaller than batch: sample with replacement
+                yield self._rng.choice(n, size=self.batch_size)
+                if not self.infinite:
+                    return
+                continue
+            for i in range(0, end, self.batch_size):
+                yield order[i : i + self.batch_size]
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[dict]:
+        stream = self._index_stream()
+        pending: list[cf.Future] = []
+
+        def submit():
+            try:
+                idxs = next(stream)
+            except StopIteration:
+                return False
+            futs = [self._pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
+            pending.append(futs)
+            return True
+
+        for _ in range(self.prefetch + 1):
+            if not submit():
+                break
+        while pending:
+            futs = pending.pop(0)
+            batch = _stack([f.result() for f in futs])
+            submit()
+            yield batch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if n < self.batch_size:
+            return 1
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)

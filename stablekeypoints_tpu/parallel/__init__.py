@@ -1,0 +1,3 @@
+from stablekeypoints_tpu.parallel import mesh
+
+__all__ = ["mesh"]

@@ -1,0 +1,74 @@
+"""Stage 1: optimize the token embedding (reference optimize.py:269-452).
+
+One jitted step = two capture forwards (original + affine-transformed
+image), per-image token selection, sharpening + equivariance losses, grad
+w.r.t. the context only, Adam update. The reference's gradient accumulation
+over `batch_size // num_gpus` micro-steps collapses into a real sharded
+batch axis: its accumulated loss is the mean over all `batch_size` images,
+which is exactly what one batched step computes (optimize.py:420-425).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import numpy as np
+
+from stablekeypoints_tpu.config import Config
+from stablekeypoints_tpu.data.base import Loader
+from stablekeypoints_tpu.parallel import mesh as pmesh
+from stablekeypoints_tpu.pipeline.runtime import Runtime
+from stablekeypoints_tpu.utils.artifacts import save_artifact
+from stablekeypoints_tpu.utils.logging import MetricsLogger
+
+__all__ = ["optimize_embedding"]
+
+
+def optimize_embedding(
+    runtime: Runtime,
+    dataset,
+    logger: MetricsLogger | None = None,
+    context=None,
+):
+    cfg = runtime.cfg
+    loader = Loader(
+        dataset, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed, infinite=True
+    )
+    it = iter(loader)
+
+    if context is None:
+        context = runtime.init_context()
+    opt_state = jax.device_put(
+        runtime.optimizer.init(context), pmesh.replicated(runtime.mesh)
+    )
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    start = time.time()
+    it_start = start
+    for step in range(cfg.num_steps):
+        batch = next(it)
+        images = pmesh.shard_batch(runtime.mesh, batch["img"])
+        key, sub = jax.random.split(key)
+        context, opt_state, metrics = runtime.train_step(
+            context, opt_state, images, sub
+        )
+        if logger is not None and (step % cfg.log_every == 0 or step == cfg.num_steps - 1):
+            now = time.time()
+            logger.log(
+                {
+                    "stage": 1,
+                    "step": step,
+                    "loss": float(metrics["loss"]),
+                    "sharpening_loss": float(metrics["sharpening"]) * cfg.sharpening_loss_weight,
+                    "equivariance_attn_loss": float(metrics["equivariance"]) * cfg.equivariance_attn_loss_weight,
+                    "iteration_time": (now - it_start) / max(step % cfg.log_every, 1) if step else now - it_start,
+                }
+            )
+            it_start = now
+        if cfg.checkpoint_every and step and step % cfg.checkpoint_every == 0:
+            save_artifact(cfg.save_folder, "embedding", np.asarray(context))
+
+    if logger is not None:
+        logger.log({"stage": 1, "event": "done", "seconds": time.time() - start})
+    return context

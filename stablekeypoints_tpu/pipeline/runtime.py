@@ -1,0 +1,324 @@
+"""SD keypoint runtime: frozen models + jitted compute functions.
+
+The functional replacement for the reference's (ldm, controllers, num_gpus)
+triple (optimize_token.py:24-78). Holds the UNet/VAE modules, their frozen
+parameters, the DDIM schedule and the device mesh, and exposes the two core
+computations:
+
+  * `attn_maps`       — semantics of `run_and_find_attn` + `collect_maps`
+                        (ptp_utils.py:234-272, optimize.py:27-79): one UNet
+                        forward on lightly-noised VAE latents, returning the
+                        layer/head-averaged token attention maps.
+  * `train_step`      — one full optimization step of stage 1
+                        (optimize.py:339-425): two capture forwards, token
+                        selection, sharpening + equivariance losses, grad
+                        w.r.t. the context embedding only, Adam update.
+
+Everything is one compiled program per call; batches are sharded over the
+mesh's data axis and gradients are reduced by XLA (vs. the reference's
+per-device stores, `.to('cuda:0')` gathers and host-side FPS loops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stablekeypoints_tpu.config import Config
+from stablekeypoints_tpu.models.scheduler import DDIMSchedule
+from stablekeypoints_tpu.models.unet import SD15_CONFIG, UNet, UNetConfig
+from stablekeypoints_tpu.models.vae import SD_VAE_CONFIG, VAE, VAEConfig
+from stablekeypoints_tpu.models import weights as W
+from stablekeypoints_tpu.ops.losses import equivariance_loss, sharpening_loss
+from stablekeypoints_tpu.ops.resize import resize_hw
+from stablekeypoints_tpu.ops.selection import furthest_point_sampling, select_candidates
+from stablekeypoints_tpu.ops.transforms import AffineParams, apply_affine, sample_thetas
+from stablekeypoints_tpu.parallel import mesh as pmesh
+
+__all__ = ["Runtime", "collect_maps"]
+
+
+def collect_maps(
+    captures: list[jnp.ndarray],
+    layers: tuple[int, ...],
+    upsample_res: int = -1,
+    indices: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Average captured maps over layers, reshape, optionally upsample.
+
+    captures: list of [B, R^2, T] head-averaged maps in capture order.
+    Returns [B, T', res, res]. Semantics of collect_maps (optimize.py:27-79);
+    since every captured map lives at the same R^2 grid, mean-then-upsample
+    equals the reference's upsample-then-mean (bilinear resize is linear),
+    and index selection commutes with both.
+    """
+    sel = [captures[i] for i in layers if i < len(captures)]
+    maps = jnp.mean(jnp.stack(sel, axis=0), axis=0)  # [B, R^2, T]
+    if indices is not None:
+        maps = maps[:, :, indices]
+    b, rr, t = maps.shape
+    r = int(round(rr**0.5))
+    maps = maps.transpose(0, 2, 1).reshape(b, t, r, r)
+    if upsample_res != -1 and upsample_res != r:
+        maps = resize_hw(maps, upsample_res, upsample_res, "bilinear")
+    return maps
+
+
+@dataclasses.dataclass
+class Runtime:
+    cfg: Config
+    unet: UNet
+    vae: VAE
+    unet_params: dict
+    vae_params: dict
+    schedule: DDIMSchedule
+    mesh: jax.sharding.Mesh
+
+    @staticmethod
+    def create(
+        cfg: Config,
+        unet_config: UNetConfig = SD15_CONFIG,
+        vae_config: VAEConfig = SD_VAE_CONFIG,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ) -> "Runtime":
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        unet = UNet(unet_config, dtype=dtype)
+        vae = VAE(vae_config, dtype=dtype)
+        if cfg.model_path:
+            unet_params = W.load_unet_params(cfg.model_path, unet_config, dtype)
+            vae_params = W.load_vae_params(cfg.model_path, vae_config, dtype)
+        else:
+            k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
+            sample_hw = max(cfg.image_size // 8, 32)
+            unet_params = W.cast_params(
+                W.init_unet_params(k1, unet_config, sample_hw), dtype
+            )
+            vae_params = W.cast_params(
+                W.init_vae_params(k2, vae_config, min(cfg.image_size, 64)), dtype
+            )
+        mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
+        rt = Runtime(
+            cfg, unet, vae,
+            jax.device_put(unet_params, pmesh.replicated(mesh)),
+            jax.device_put(vae_params, pmesh.replicated(mesh)),
+            DDIMSchedule.create(), mesh,
+        )
+        return rt
+
+    # ------------------------------------------------------------------
+    # core computations (pure; jitted wrappers below)
+
+    def _attn_maps(
+        self,
+        unet_params,
+        vae_params,
+        images: jnp.ndarray,  # [B, H, W, 3] in [0, 1]
+        context: jnp.ndarray,  # [1, T, d]
+        key: jax.Array,
+        upsample_res: int,
+        indices: Optional[jnp.ndarray],
+        truncate: bool,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        latents = jax.lax.stop_gradient(
+            self.vae.apply(
+                {"params": vae_params}, images * 2.0 - 1.0, method=VAE.encode_mean
+            )
+        )
+        noise = jax.random.normal(key, latents.shape, jnp.float32)
+        t = self.schedule.timestep_at(cfg.noise_level)
+        noisy = self.schedule.add_noise(latents, noise, t)
+        b = images.shape[0]
+        ts = jnp.full((b,), t, jnp.int32)
+        ctx = jnp.broadcast_to(context, (b, *context.shape[1:]))
+        _, captures = self.unet.apply(
+            {"params": unet_params},
+            noisy,
+            ts,
+            ctx,
+            capture_res=cfg.feature_upsample_res,
+            truncate=truncate,
+        )
+        return collect_maps(captures, cfg.layers, upsample_res, indices)
+
+    def _per_sample_losses(self, maps, maps_t, theta):
+        """Token selection + losses for one image (optimize.py:380-401)."""
+        cfg = self.cfg
+        cands = select_candidates(
+            jax.lax.stop_gradient(maps),
+            cfg.top_k_strategy,
+            cfg.furthest_point_num_samples,
+            sigma=cfg.sigma,
+            num_subjects=cfg.num_subjects,
+        )
+        idx = furthest_point_sampling(
+            jax.lax.stop_gradient(maps_t), cfg.top_k, cands
+        )
+        sl = sharpening_loss(maps[idx], sigma=cfg.sigma, num_subjects=cfg.num_subjects)
+        el = equivariance_loss(maps[idx], maps_t[idx], theta)
+        return sl, el
+
+    def _train_step(self, unet_params, vae_params, opt, context, opt_state, images, key):
+        cfg = self.cfg
+        k_noise1, k_noise2, k_theta = jax.random.split(key, 3)
+        aff = AffineParams(cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate))
+        thetas = sample_thetas(k_theta, images.shape[0], aff)
+        images_t = apply_affine(images, thetas)
+
+        def loss_fn(ctx):
+            maps = self._attn_maps(
+                unet_params, vae_params, images, ctx, k_noise1, -1, None, cfg.truncate_unet
+            )
+            maps_t = self._attn_maps(
+                unet_params, vae_params, images_t, ctx, k_noise2, -1, None, cfg.truncate_unet
+            )
+            sls, els = jax.vmap(self._per_sample_losses)(maps, maps_t, thetas)
+            sl, el = jnp.mean(sls), jnp.mean(els)
+            loss = sl * cfg.sharpening_loss_weight + el * cfg.equivariance_attn_loss_weight
+            return loss, {"sharpening": sl, "equivariance": el}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(context)
+        updates, opt_state = opt.update(grads, opt_state, context)
+        context = optax.apply_updates(context, updates)
+        aux = dict(aux, loss=loss)
+        return context, opt_state, aux
+
+    # ------------------------------------------------------------------
+    # jitted public entry points
+
+    @functools.cached_property
+    def optimizer(self) -> optax.GradientTransformation:
+        return optax.adam(self.cfg.lr)
+
+    @functools.cached_property
+    def train_step(self):
+        """(context, opt_state, images, key) -> (context, opt_state, metrics).
+
+        Frozen model params are passed as (pre-sharded) arguments rather than
+        closed over, so they are donated-free runtime inputs instead of
+        baked-in executable constants.
+        """
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def step(unet_params, vae_params, context, opt_state, images, key):
+            return self._train_step(
+                unet_params, vae_params, self.optimizer,
+                context, opt_state, images, key,
+            )
+
+        jitted = jax.jit(
+            step,
+            in_shardings=(repl, repl, repl, repl, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(2, 3),
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def attn_maps_fn(self):
+        """Inference maps at feature resolution: (context, images, key) -> maps."""
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def fn(unet_params, vae_params, context, images, key):
+            return self._attn_maps(
+                unet_params, vae_params, images, context, key,
+                self.cfg.feature_upsample_res, None, True,
+            )
+
+        jitted = jax.jit(
+            fn, in_shardings=(repl, repl, repl, data, repl), out_shardings=data
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def augmented_maps_fn(self):
+        """Test-time-ensembled maps for one image.
+
+        (context, image [H, W, 3], indices [k], key) -> [k, H, W] fp32.
+        Semantics of run_image_with_context_augmented (eval.py:197-355):
+        `augmentation_iterations` random affine views, maps at image
+        resolution, inverse-warped and averaged with NaN->0 where no view
+        contributed. The reference runs the views serially per GPU
+        (eval.py:239); here they are one batched, sharded forward.
+        """
+        cfg = self.cfg
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def fn(unet_params, vae_params, context, image, indices, key):
+            n = cfg.augmentation_iterations
+            k_theta, k_noise = jax.random.split(key)
+            aff = AffineParams(
+                cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+            )
+            thetas = sample_thetas(k_theta, n, aff)
+            imgs = jnp.broadcast_to(image[None], (n, *image.shape))
+            imgs_t = apply_affine(imgs, thetas)
+            imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
+            maps = self._attn_maps(
+                unet_params, vae_params, imgs_t, context, k_noise,
+                image.shape[0], indices, True,
+            )  # [n, k, S, S]
+
+            def inv(x):  # inverse-warp [n, k, S, S] with per-view thetas
+                from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
+
+                return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(
+                    0, 3, 1, 2
+                )
+
+            num = inv(jnp.ones_like(maps)).sum(axis=0)
+            total = inv(maps).sum(axis=0)
+            avg = total / num
+            return jnp.nan_to_num(avg, nan=0.0, posinf=0.0, neginf=0.0)
+
+        jitted = jax.jit(
+            fn, in_shardings=(repl, repl, repl, repl, repl, repl), out_shardings=repl
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def select_indices_fn(self):
+        """Per-image token selection for stage 2 (keypoint_regressor.py:60-99).
+
+        (context, images [B, H, W, 3], key) -> [B, top_k] token indices.
+        """
+        cfg = self.cfg
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def fn(unet_params, vae_params, context, images, key):
+            maps = self._attn_maps(
+                unet_params, vae_params, images, context, key,
+                cfg.feature_upsample_res, None, True,
+            )
+
+            def per_image(m):
+                cands = select_candidates(
+                    m, cfg.top_k_strategy, cfg.furthest_point_num_samples,
+                    sigma=cfg.sigma, num_subjects=cfg.num_subjects,
+                )
+                return furthest_point_sampling(m, cfg.top_k, cands)
+
+            return jax.vmap(per_image)(maps)
+
+        jitted = jax.jit(
+            fn, in_shardings=(repl, repl, repl, data, repl), out_shardings=repl
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    def init_context(self, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """Random context init (ptp_utils.py:649-650: randn [1, T, 768])."""
+        key = key if key is not None else jax.random.PRNGKey(self.cfg.seed)
+        ctx = jax.random.normal(
+            key, (1, self.cfg.num_tokens, self.unet.config.context_dim), jnp.float32
+        )
+        return jax.device_put(ctx, pmesh.replicated(self.mesh))
