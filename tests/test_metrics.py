@@ -48,12 +48,15 @@ def test_orientation_invariant_takes_min():
     # branch restores it exactly, so the min is 0. (The full table is not
     # an involution: the reference's duplicated (21, 28) entry after
     # (20, 28) makes swap(swap(x)) != x at rows 20/21/28.)
-    est = gt.copy()
-    est[[1, 6]] = est[[6, 1]]
+    est = swap_points(gt[None])[0]
     val = compute_metric("orientation_invariant", est, gt)
-    assert val == 0.0
+    # swap(swap(gt)) differs from gt only at row 20 (perm[20]=28 but
+    # perm[28]=21 from the later duplicate), so the swapped branch leaves
+    # exactly one residual term:
+    expected_swapped = np.linalg.norm(gt[21] - gt[20]) / 32 * 128
     direct = np.linalg.norm(est - gt, axis=-1).mean() * 128
-    assert direct > 0
+    np.testing.assert_allclose(val, min(direct, expected_swapped), rtol=1e-9)
+    assert val < direct  # the min actually picked the swapped branch
 
 
 def test_swap_points_involution_except_dup():
