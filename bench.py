@@ -1,0 +1,92 @@
+"""Benchmark: stage-1 token-optimization steps/sec on the flagship model.
+
+Measures the reference workload shape (BASELINE.md): SD-1.5 UNet, 512^2
+images, 500 learned tokens, 128^2 attention capture, effective batch 4 =
+2 capture forwards + 1 backward into the embedding per step, Adam update —
+all as one jitted program on the available device(s).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
+denominator is an engineering estimate of the reference implementation on
+one A100: ~5.6 fp32 TFLOP per batch-4 optimizer step (2 fwd + 1 bwd, incl.
+the recomputed 128^2x500 attention capture) at ~30% utilization plus the
+host-synced FPS loops => ~0.3 optimizer steps/sec. Weights are random-init
+(zero-egress environment); speed is weight-value independent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stablekeypoints_tpu.config import Config
+from stablekeypoints_tpu.parallel import mesh as pmesh
+from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+REFERENCE_A100_STEPS_PER_SEC = 0.3  # see module docstring
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "500"))
+
+    cfg = Config(
+        dataset_name="synthetic",
+        image_size=image_size,
+        num_tokens=num_tokens,
+        batch_size=batch,
+        dtype="bfloat16",
+    )
+    runtime = Runtime.create(cfg)
+
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, size=(batch, image_size, image_size, 3)).astype(np.float32)
+    images = pmesh.shard_batch(runtime.mesh, images)
+
+    context = runtime.init_context()
+    opt_state = jax.device_put(
+        runtime.optimizer.init(context), pmesh.replicated(runtime.mesh)
+    )
+    key = jax.random.PRNGKey(0)
+
+    # warmup (compile + first run)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        context, opt_state, metrics = runtime.train_step(context, opt_state, images, sub)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        context, opt_state, metrics = runtime.train_step(context, opt_state, images, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = steps / dt
+    n_chips = runtime.mesh.devices.size
+    per_chip = steps_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "sd15_token_optimization_steps_per_sec_per_chip",
+                "value": round(per_chip, 4),
+                "unit": "steps/s/chip (batch 4, 500 tokens, 128^2 capture)",
+                "vs_baseline": round(per_chip / REFERENCE_A100_STEPS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -148,24 +148,27 @@ class Upsample(nn.Module):
 class CrossAttention(nn.Module):
     """Multi-head attention; self-attention when no context is given.
 
-    When `capture_res` is passed to __call__, additionally computes the
+    When the `capture_res` field is set, additionally computes the
     upsampled-query token attention map of the reference's patched forward
     (ptp_utils.py:508-538): hidden states are bicubically upsampled to
     capture_res^2, re-projected to queries, and softmax(q k^T / sqrt(d))
     over the text tokens is averaged over heads -> [B, res^2, T].
+    `capture_res` is a module field (not a call arg) so the module can be
+    wrapped in nn.remat with array-only call signatures.
     """
 
     heads: int
     dim_head: int
     dtype: jnp.dtype = jnp.bfloat16
+    capture_res: Optional[int] = None
 
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
-        capture_res: Optional[int] = None,
     ):
+        capture_res = self.capture_res
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         scale = 1.0 / math.sqrt(self.dim_head)
@@ -245,16 +248,17 @@ class BasicTransformerBlock(nn.Module):
     heads: int
     dim_head: int
     dtype: jnp.dtype = jnp.bfloat16
+    capture_res: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context, capture_res: Optional[int] = None):
+    def __call__(self, x, context):
         h, _ = CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
             LayerNorm32(name="norm1")(x)
         )
         x = x + h
-        h, capture = CrossAttention(self.heads, self.dim_head, self.dtype, name="attn2")(
-            LayerNorm32(name="norm2")(x), context, capture_res=capture_res
-        )
+        h, capture = CrossAttention(
+            self.heads, self.dim_head, self.dtype, self.capture_res, name="attn2"
+        )(LayerNorm32(name="norm2")(x), context)
         x = x + h
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
             LayerNorm32(name="norm3")(x)
@@ -269,9 +273,10 @@ class Transformer2D(nn.Module):
     dim_head: int
     depth: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    capture_res: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x, context, capture_res: Optional[int] = None):
+    def __call__(self, x, context):
         b, h, w, c = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -282,10 +287,10 @@ class Transformer2D(nn.Module):
         for i in range(self.depth):
             # only the first block of a transformer stack captures (depth>1
             # stacks only exist in SDXL; SD1.5 always has depth 1)
-            res = capture_res if i == 0 else None
+            res = self.capture_res if i == 0 else None
             x, cap = BasicTransformerBlock(
-                inner, self.heads, self.dim_head, self.dtype, name=f"blocks_{i}"
-            )(x, context, capture_res=res)
+                inner, self.heads, self.dim_head, self.dtype, res, name=f"blocks_{i}"
+            )(x, context)
             if cap is not None:
                 captures.append(cap)
         x = x.reshape(b, h, w, inner)

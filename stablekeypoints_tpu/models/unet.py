@@ -26,6 +26,8 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
+from flax import linen as _nn
+
 from stablekeypoints_tpu.models.layers import (
     Downsample,
     GroupNorm,
@@ -34,6 +36,16 @@ from stablekeypoints_tpu.models.layers import (
     Transformer2D,
     Upsample,
 )
+
+# remat-wrapped variants: backward recomputes block activations instead of
+# storing them (the capture path's per-head attention tensors are the big
+# win — [B, heads, res^2, T] never survives the forward)
+ResnetBlockR = _nn.remat(ResnetBlock)
+Transformer2DR = _nn.remat(Transformer2D)
+
+
+def _blocks(remat: bool):
+    return (ResnetBlockR, Transformer2DR) if remat else (ResnetBlock, Transformer2D)
 
 __all__ = ["UNetConfig", "UNet", "SD15_CONFIG", "tiny_unet_config"]
 
@@ -49,6 +61,7 @@ class UNetConfig:
     # transformer depth per block (SD1.5: all 1; SDXL: (0, 2, 10))
     transformer_depth: tuple[int, ...] = (1, 1, 1, 1)
     num_heads: int = 8  # SD1.x: fixed 8 heads, head dim = channels / 8
+    remat: bool = True  # rematerialize blocks in backward (required at 512^2)
     head_dim_fixed: Optional[int] = None  # SDXL: fixed 64-dim heads instead
     context_dim: int = 768
     time_embed_dim_mult: int = 4
@@ -66,12 +79,17 @@ class UNetConfig:
 SD15_CONFIG = UNetConfig()
 
 
-def tiny_unet_config(context_dim: int = 32) -> UNetConfig:
-    """A scaled-down config with the same topology, for tests."""
+def tiny_unet_config(context_dim: int = 32, remat: bool = False) -> UNetConfig:
+    """A scaled-down config with the same topology, for tests.
+
+    remat defaults off for test speed; test_remat_gradients_match covers
+    the remat path explicitly.
+    """
     return UNetConfig(
         block_channels=(32, 64, 128, 128),
         num_heads=4,
         context_dim=context_dim,
+        remat=remat,
     )
 
 
@@ -86,11 +104,12 @@ class DownBlock(nn.Module):
         ch = cfg.block_channels[self.block_idx]
         has_attn = cfg.attn_blocks[self.block_idx]
         heads, dim_head = cfg.heads_for(ch)
+        Res, Tfm = _blocks(cfg.remat)
         skips = []
         for i in range(cfg.layers_per_block):
-            x = ResnetBlock(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            x = Res(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             if has_attn:
-                x, _ = Transformer2D(
+                x, _ = Tfm(
                     heads,
                     dim_head,
                     depth=cfg.transformer_depth[self.block_idx],
@@ -113,15 +132,16 @@ class MidBlock(nn.Module):
         cfg = self.config
         ch = cfg.block_channels[-1]
         heads, dim_head = cfg.heads_for(ch)
-        x = ResnetBlock(ch, dtype=self.dtype, name="resnets_0")(x, temb)
-        x, _ = Transformer2D(
+        Res, Tfm = _blocks(cfg.remat)
+        x = Res(ch, dtype=self.dtype, name="resnets_0")(x, temb)
+        x, _ = Tfm(
             heads,
             dim_head,
             depth=cfg.transformer_depth[-1] if cfg.attn_blocks[-1] else 1,
             dtype=self.dtype,
             name="attentions_0",
         )(x, context)
-        x = ResnetBlock(ch, dtype=self.dtype, name="resnets_1")(x, temb)
+        x = Res(ch, dtype=self.dtype, name="resnets_1")(x, temb)
         return x
 
 
@@ -142,12 +162,13 @@ class UpBlock(nn.Module):
         has_attn = rev_attn[self.block_idx]
         heads, dim_head = cfg.heads_for(ch)
         capture_res, truncate, captures = capture_state
+        Res, Tfm = _blocks(cfg.remat)
 
         n_layers = cfg.layers_per_block + 1
         for i in range(n_layers):
             skip = skips.pop()
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
-            x = ResnetBlock(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
+            x = Res(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
             if has_attn:
                 seq = x.shape[1] * x.shape[2]
                 do_capture = (
@@ -155,13 +176,14 @@ class UpBlock(nn.Module):
                     and seq <= cfg.capture_max_seq
                     and len(captures) < cfg.max_capture_layers
                 )
-                x, cap = Transformer2D(
+                x, cap = Tfm(
                     heads,
                     dim_head,
                     depth=rev_depth[self.block_idx],
                     dtype=self.dtype,
+                    capture_res=capture_res if do_capture else None,
                     name=f"attentions_{i}",
-                )(x, context, capture_res=capture_res if do_capture else None)
+                )(x, context)
                 if cap is not None:
                     captures.append(cap)
                     if truncate and len(captures) >= cfg.max_capture_layers:

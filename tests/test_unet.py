@@ -154,6 +154,32 @@ def test_vae_conversion_covers_every_param():
     assert set(flat_out) == set(flat_ref)
 
 
+def test_remat_gradients_match():
+    """remat=True must give identical outputs and context gradients."""
+    lat = jax.random.normal(jax.random.PRNGKey(5), (1, 32, 32, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(6), (1, 12, 32))
+    results = []
+    for remat in (False, True):
+        cfg = tiny_unet_config(remat=remat)
+        model = UNet(cfg, dtype=jnp.float32)
+        params = weights.init_unet_params(jax.random.PRNGKey(0), cfg, sample_hw=32)
+
+        def loss_fn(c):
+            _, caps = model.apply(
+                {"params": params}, lat, t, c, capture_res=8, truncate=True
+            )
+            return sum(jnp.sum(m**2) for m in caps)
+
+        results.append((loss_fn(ctx), jax.grad(loss_fn)(ctx)))
+    np.testing.assert_allclose(
+        np.asarray(results[0][0]), np.asarray(results[1][0]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(results[0][1]), np.asarray(results[1][1]), rtol=1e-4, atol=1e-6
+    )
+
+
 def test_vae_encode_decode_shapes():
     cfg = tiny_vae_config()
     model = VAE(cfg, dtype=jnp.float32)
