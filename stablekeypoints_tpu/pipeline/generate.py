@@ -1,0 +1,85 @@
+"""Image generation with the learned embedding (generate_image.py parity).
+
+Semantics of generate_image.py:20-39 + ptp_utils.text2image_ldm_stable
+(ptp_utils.py:420-461): 50-step DDIM sampling conditioned on the learned
+context only (low_resource=True drops the unconditional/CFG branch),
+starting from seeded Gaussian latents, then VAE decode. The reference's
+register_attention_control_generation machinery (ptp_utils.py:351-416)
+existed to *read* attention during sampling; here maps can simply be
+captured functionally on any step if requested.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablekeypoints_tpu.models.vae import VAE
+from stablekeypoints_tpu.pipeline.runtime import Runtime, collect_maps
+
+__all__ = ["generate_images"]
+
+
+def generate_images(
+    runtime: Runtime,
+    context,
+    num_images: int = 1,
+    key=None,
+    latent_hw: int | None = None,
+    capture_final_maps: bool = False,
+):
+    """Sample images; optionally also return the final step's token maps."""
+    cfg = runtime.cfg
+    sched = runtime.schedule
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed + 8)
+    hw = latent_hw if latent_hw is not None else cfg.image_size // 8
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def sample(context, key, capture: bool):
+        latents = jax.random.normal(
+            key, (num_images, hw, hw, runtime.unet.config.in_channels), jnp.float32
+        )
+        ctx = jnp.broadcast_to(context, (num_images, *context.shape[1:]))
+        n_steps = len(sched.timesteps)
+
+        def body(i, lat):
+            t = jnp.asarray(sched.timesteps)[i]
+            eps, _ = runtime.unet.apply(
+                {"params": runtime.unet_params},
+                lat,
+                jnp.full((num_images,), t, jnp.int32),
+                ctx,
+            )
+            # DDIM update (unrolled indexing done via gather on tables)
+            acp = jnp.asarray(sched.alphas_cumprod)
+            step_ratio = sched.num_train_timesteps // n_steps
+            prev_t = t - step_ratio
+            alpha_t = acp[t]
+            alpha_prev = jnp.where(prev_t >= 0, acp[jnp.maximum(prev_t, 0)], acp[0])
+            x0 = (lat - jnp.sqrt(1 - alpha_t) * eps) / jnp.sqrt(alpha_t)
+            return jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1 - alpha_prev) * eps
+
+        latents = jax.lax.fori_loop(0, n_steps, body, latents)
+
+        maps = None
+        if capture:
+            _, captures = runtime.unet.apply(
+                {"params": runtime.unet_params},
+                latents,
+                jnp.full((num_images,), int(sched.timesteps[-1]), jnp.int32),
+                ctx,
+                capture_res=cfg.feature_upsample_res,
+                truncate=True,
+            )
+            maps = collect_maps(captures, cfg.layers, -1, None)
+        images = runtime.vae.apply(
+            {"params": runtime.vae_params}, latents, method=VAE.decode
+        )
+        images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
+        return images, maps
+
+    images, maps = sample(context, key, capture_final_maps)
+    return (np.asarray(images), None if maps is None else np.asarray(maps))
