@@ -28,6 +28,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: the SD-1.5 train-step compile is expensive;
+# cache it across bench invocations
+jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 from stablekeypoints_tpu.config import Config
 from stablekeypoints_tpu.parallel import mesh as pmesh
 from stablekeypoints_tpu.pipeline.runtime import Runtime

@@ -67,6 +67,11 @@ class UNetConfig:
     time_embed_dim_mult: int = 4
     # additional conditioning (SDXL micro-conditioning); 0 = disabled
     addition_emb_dim: int = 0
+    addition_time_dim: int = 256
+    # diffusers SDXL uses nn.Linear for transformer proj_in/out; we always
+    # use 1x1 convs (identical math) — this flag only affects checkpoint
+    # weight conversion
+    linear_projection: bool = False
     max_capture_layers: int = 4
     capture_max_seq: int = 32 * 32
 
@@ -77,6 +82,37 @@ class UNetConfig:
 
 
 SD15_CONFIG = UNetConfig()
+
+# SDXL-base topology: 3 blocks, no attention at 128^2/64^2 extremes of the
+# down path's first block, transformer depths (0, 2, 10), 64-dim heads,
+# 2048-dim context, micro-conditioning via pooled-embed + time_ids. The
+# reference's SDXL path (sdxl_monkey_patch.py) is vestigial/broken; this is
+# the working equivalent under the same functional-capture design.
+SDXL_CONFIG = UNetConfig(
+    block_channels=(320, 640, 1280),
+    attn_blocks=(False, True, True),
+    transformer_depth=(1, 2, 10),
+    num_heads=0,
+    head_dim_fixed=64,
+    context_dim=2048,
+    addition_emb_dim=1280,
+    linear_projection=True,
+)
+
+
+def sdxl_tiny_config() -> UNetConfig:
+    """Scaled-down SDXL topology for tests."""
+    return UNetConfig(
+        block_channels=(32, 64, 128),
+        attn_blocks=(False, True, True),
+        transformer_depth=(1, 2, 2),
+        num_heads=0,
+        head_dim_fixed=16,
+        context_dim=48,
+        addition_emb_dim=32,
+        addition_time_dim=8,
+        remat=False,
+    )
 
 
 def tiny_unet_config(context_dim: int = 32, remat: bool = False) -> UNetConfig:
@@ -211,6 +247,7 @@ class UNet(nn.Module):
         context: jnp.ndarray,  # [B, T, context_dim]
         capture_res: Optional[int] = None,
         truncate: bool = False,
+        added_cond: Optional[dict] = None,  # SDXL: {'text_embeds', 'time_ids'}
     ):
         cfg = self.config
         model_dim = cfg.block_channels[0]
@@ -219,6 +256,28 @@ class UNet(nn.Module):
         temb = TimestepEmbedder(model_dim, temb_dim, dtype=self.dtype, name="time_embedding")(
             timesteps
         )
+        if cfg.addition_emb_dim > 0:
+            # SDXL micro-conditioning: fourier-embedded time_ids + pooled
+            # text embedding, projected and added to the time embedding.
+            # With the learned context replacing the text encoders, the
+            # pooled embedding defaults to zeros (it can also be learned).
+            b = latents.shape[0]
+            if added_cond is None:
+                added_cond = {}
+            text_embeds = added_cond.get(
+                "text_embeds",
+                jnp.zeros((b, cfg.addition_emb_dim), jnp.float32),
+            )
+            time_ids = added_cond.get("time_ids", jnp.zeros((b, 6), jnp.float32))
+            from stablekeypoints_tpu.models.layers import timestep_embedding
+
+            tid = timestep_embedding(time_ids.reshape(-1), cfg.addition_time_dim)
+            tid = tid.reshape(b, -1)
+            aug = jnp.concatenate([text_embeds, tid], axis=-1).astype(self.dtype)
+            aug = nn.Dense(temb_dim, dtype=self.dtype, name="add_embedding_linear_1")(aug)
+            aug = nn.silu(aug)
+            aug = nn.Dense(temb_dim, dtype=self.dtype, name="add_embedding_linear_2")(aug)
+            temb = temb + aug
         x = latents.astype(self.dtype)
         context = context.astype(self.dtype)
         x = nn.Conv(model_dim, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)

@@ -105,13 +105,16 @@ def _map_resnet(src: str) -> list[tuple[str, str, str]]:
     ]
 
 
-def _map_transformer(depth: int) -> list[tuple[str, str, str]]:
+def _map_transformer(depth: int, linear_proj: bool = False) -> list[tuple[str, str, str]]:
+    # diffusers SDXL uses nn.Linear for proj_in/out (use_linear_projection);
+    # we always use 1x1 convs, so linear weights convert via "dense1x1"
+    proj_kind = "dense1x1" if linear_proj else "conv"
     rules = [
         ("norm.weight", "norm.scale", "raw"),
         ("norm.bias", "norm.bias", "raw"),
-        ("proj_in.weight", "proj_in.kernel", "conv"),
+        ("proj_in.weight", "proj_in.kernel", proj_kind),
         ("proj_in.bias", "proj_in.bias", "raw"),
-        ("proj_out.weight", "proj_out.kernel", "conv"),
+        ("proj_out.weight", "proj_out.kernel", proj_kind),
         ("proj_out.bias", "proj_out.bias", "raw"),
     ]
     for d in range(depth):
@@ -142,6 +145,8 @@ _KIND: dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "raw": lambda x: x,
     "conv": _conv_w,
     "dense": _dense_w,
+    # torch Linear [out, in] -> our 1x1 conv kernel [1, 1, in, out]
+    "dense1x1": lambda x: np.transpose(x)[None, None],
 }
 
 
@@ -159,6 +164,13 @@ def unet_conversion_rules(config: UNetConfig) -> list[tuple[str, str, str]]:
         ("conv_out.weight", "conv_out.kernel", "conv"),
         ("conv_out.bias", "conv_out.bias", "raw"),
     ]
+    if config.addition_emb_dim > 0:
+        rules += [
+            ("add_embedding.linear_1.weight", "add_embedding_linear_1.kernel", "dense"),
+            ("add_embedding.linear_1.bias", "add_embedding_linear_1.bias", "raw"),
+            ("add_embedding.linear_2.weight", "add_embedding_linear_2.kernel", "dense"),
+            ("add_embedding.linear_2.bias", "add_embedding_linear_2.bias", "raw"),
+        ]
     n_blocks = len(config.block_channels)
     for b in range(n_blocks):
         depth = config.transformer_depth[b]
@@ -168,7 +180,7 @@ def unet_conversion_rules(config: UNetConfig) -> list[tuple[str, str, str]]:
                     (f"down_blocks.{b}.resnets.{i}.{s}", f"down_{b}.resnets_{i}.{d}", k)
                 )
             if config.attn_blocks[b]:
-                for s, d, k in _map_transformer(depth):
+                for s, d, k in _map_transformer(depth, config.linear_projection):
                     rules.append(
                         (
                             f"down_blocks.{b}.attentions.{i}.{s}",
@@ -186,7 +198,7 @@ def unet_conversion_rules(config: UNetConfig) -> list[tuple[str, str, str]]:
         for s, d, k in _map_resnet("mid"):
             rules.append((f"mid_block.resnets.{i}.{s}", f"mid.resnets_{i}.{d}", k))
     mid_depth = config.transformer_depth[-1] if config.attn_blocks[-1] else 1
-    for s, d, k in _map_transformer(mid_depth):
+    for s, d, k in _map_transformer(mid_depth, config.linear_projection):
         rules.append((f"mid_block.attentions.0.{s}", f"mid.attentions_0.{d}", k))
     # up path (our up_{b} uses reversed channels; diffusers up_blocks too)
     rev_attn = tuple(reversed(config.attn_blocks))
@@ -198,7 +210,7 @@ def unet_conversion_rules(config: UNetConfig) -> list[tuple[str, str, str]]:
                     (f"up_blocks.{b}.resnets.{i}.{s}", f"up_{b}.resnets_{i}.{d}", k)
                 )
             if rev_attn[b]:
-                for s, d, k in _map_transformer(rev_depth[b]):
+                for s, d, k in _map_transformer(rev_depth[b], config.linear_projection):
                     rules.append(
                         (f"up_blocks.{b}.attentions.{i}.{s}", f"up_{b}.attentions_{i}.{d}", k)
                     )

@@ -83,10 +83,16 @@ class Runtime:
     @staticmethod
     def create(
         cfg: Config,
-        unet_config: UNetConfig = SD15_CONFIG,
+        unet_config: Optional[UNetConfig] = None,
         vae_config: VAEConfig = SD_VAE_CONFIG,
         mesh: Optional[jax.sharding.Mesh] = None,
     ) -> "Runtime":
+        if unet_config is None:
+            from stablekeypoints_tpu.models.unet import SDXL_CONFIG
+
+            unet_config = (
+                SDXL_CONFIG if "xl" in cfg.model_type.lower() else SD15_CONFIG
+            )
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         unet = UNet(unet_config, dtype=dtype)
         vae = VAE(vae_config, dtype=dtype)
