@@ -73,6 +73,7 @@ class Config:
     eval_batch_images: int = 1  # test images folded into one sharded batch
     seed: int = 0
     checkpoint_every: int = 0  # 0 = only stage-end artifacts
+    resume: bool = False  # resume from checkpoints / stage artifacts
     log_every: int = 10
 
     @property

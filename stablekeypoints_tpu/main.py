@@ -90,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_truncate_unet", dest="truncate_unet", action="store_false")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from mid-stage checkpoints / stage artifacts")
     p.add_argument("--log_every", type=int, default=d.log_every)
     return p
 
@@ -109,15 +111,43 @@ def run(cfg: Config) -> dict:
     runtime = Runtime.create(cfg)
     results: dict = {}
 
+    def artifact_or(name, compute):
+        """Stage-level resume: reuse an existing artifact when --resume."""
+        if cfg.resume:
+            try:
+                from stablekeypoints_tpu.utils.artifacts import load_artifact
+
+                value = load_artifact(cfg.save_folder, name)
+                logger.log({"event": "stage_artifact_reused", "artifact": name})
+                return value, True
+            except FileNotFoundError:
+                pass
+        return compute(), False
+
     # Stage 1
     train_ds = build_dataset(cfg, "train")
-    context = optimize_embedding(runtime, train_ds, logger)
-    save_artifact(cfg.save_folder, "embedding", np.asarray(context))
+    checkpointer = None
+    if cfg.checkpoint_every or cfg.resume:
+        from stablekeypoints_tpu.utils.checkpoint import TrainCheckpointer
+
+        checkpointer = TrainCheckpointer(cfg.save_folder)
+    context, reused = artifact_or(
+        "embedding",
+        lambda: optimize_embedding(
+            runtime, train_ds, logger, checkpointer=checkpointer
+        ),
+    )
+    if not reused:
+        save_artifact(cfg.save_folder, "embedding", np.asarray(context))
+    context = np.asarray(context)
     results["embedding"] = context
 
     # Stage 2
-    indices = find_best_indices(runtime, train_ds, context, logger)
-    save_artifact(cfg.save_folder, "indices", indices)
+    indices, reused = artifact_or(
+        "indices", lambda: find_best_indices(runtime, train_ds, context, logger)
+    )
+    if not reused:
+        save_artifact(cfg.save_folder, "indices", indices)
     results["indices"] = indices
 
     if cfg.visualize:
@@ -132,11 +162,32 @@ def run(cfg: Config) -> dict:
 
     # Stage 3
     reg_ds = build_dataset(cfg, "train_reg")
-    source, target, visible = precompute_all_keypoints(runtime, reg_ds, context, indices, logger)
-    save_artifact(cfg.save_folder, "source_keypoints", source)
-    save_artifact(cfg.save_folder, "target_keypoints", target)
-    if visible is not None:
-        save_artifact(cfg.save_folder, "visible", visible)
+
+    def stage3():
+        source, target, visible = precompute_all_keypoints(
+            runtime, reg_ds, context, indices, logger
+        )
+        save_artifact(cfg.save_folder, "source_keypoints", source)
+        save_artifact(cfg.save_folder, "target_keypoints", target)
+        if visible is not None:
+            save_artifact(cfg.save_folder, "visible", visible)
+        return source, target, visible
+
+    if cfg.resume:
+        try:
+            from stablekeypoints_tpu.utils.artifacts import load_artifact
+
+            source = load_artifact(cfg.save_folder, "source_keypoints")
+            target = load_artifact(cfg.save_folder, "target_keypoints")
+            try:
+                visible = load_artifact(cfg.save_folder, "visible")
+            except FileNotFoundError:
+                visible = None
+            logger.log({"event": "stage_artifact_reused", "artifact": "keypoints"})
+        except FileNotFoundError:
+            source, target, visible = stage3()
+    else:
+        source, target, visible = stage3()
 
     # Stage 4
     regressor = fit_regressor(cfg, source, target, visible)

@@ -13,7 +13,12 @@ from __future__ import annotations
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+
+def jnp_like(x):
+    return jnp.asarray(np.asarray(x))
 
 from stablekeypoints_tpu.config import Config
 from stablekeypoints_tpu.data.base import Loader
@@ -30,6 +35,7 @@ def optimize_embedding(
     dataset,
     logger: MetricsLogger | None = None,
     context=None,
+    checkpointer=None,
 ):
     cfg = runtime.cfg
     loader = Loader(
@@ -42,11 +48,29 @@ def optimize_embedding(
     opt_state = jax.device_put(
         runtime.optimizer.init(context), pmesh.replicated(runtime.mesh)
     )
+    start_step = 0
+    if checkpointer is not None:
+        restored = checkpointer.restore()
+        if restored is not None:
+            start_step = int(restored["step"]) + 1
+            repl = pmesh.replicated(runtime.mesh)
+            context = jax.device_put(jnp_like(restored["context"]), repl)
+            leaves = jax.tree_util.tree_leaves(restored["opt_state"])
+            opt_state = jax.device_put(
+                jax.tree_util.tree_unflatten(
+                    jax.tree_util.tree_structure(opt_state), leaves
+                ),
+                repl,
+            )
+            if logger is not None:
+                logger.log({"stage": 1, "event": "resumed", "step": start_step})
     key = jax.random.PRNGKey(cfg.seed + 1)
+    for _ in range(start_step):  # keep the data/noise stream aligned
+        key, _ = jax.random.split(key)
 
     start = time.time()
     it_start = start
-    for step in range(cfg.num_steps):
+    for step in range(start_step, cfg.num_steps):
         batch = next(it)
         images = pmesh.shard_batch(runtime.mesh, batch["img"])
         key, sub = jax.random.split(key)
@@ -68,6 +92,8 @@ def optimize_embedding(
             it_start = now
         if cfg.checkpoint_every and step and step % cfg.checkpoint_every == 0:
             save_artifact(cfg.save_folder, "embedding", np.asarray(context))
+            if checkpointer is not None:
+                checkpointer.save(step, context, opt_state)
 
     if logger is not None:
         logger.log({"stage": 1, "event": "done", "seconds": time.time() - start})
