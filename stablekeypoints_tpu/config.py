@@ -70,6 +70,7 @@ class Config:
     dtype: str = "bfloat16"  # compute dtype for the UNet/VAE
     data_parallel: int = -1  # -1 = all available devices
     truncate_unet: bool = True  # stop the forward after the last captured map
+    pallas_capture: str = "auto"  # auto|on|off: fused capture-attention kernel
     eval_batch_images: int = 1  # test images folded into one sharded batch
     seed: int = 0
     checkpoint_every: int = 0  # 0 = only stage-end artifacts

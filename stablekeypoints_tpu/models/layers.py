@@ -161,6 +161,7 @@ class CrossAttention(nn.Module):
     dim_head: int
     dtype: jnp.dtype = jnp.bfloat16
     capture_res: Optional[int] = None
+    pallas_capture: bool = False  # fused Pallas kernel for the capture path
 
     @nn.compact
     def __call__(
@@ -199,11 +200,17 @@ class CrossAttention(nn.Module):
             x_up = upsample_bicubic(x_sq, capture_res, capture_res)
             x_up = x_up.reshape(b, capture_res * capture_res, x.shape[-1])
             q_up = to_q(x_up).reshape(b, capture_res * capture_res, self.heads, self.dim_head)
-            sim_up = jnp.einsum(
-                "bnhd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
-            )
-            attn_up = jax.nn.softmax(sim_up * scale, axis=-1)
-            capture = attn_up.mean(axis=1)  # [B, res^2, T], fp32
+            if self.pallas_capture:
+                from stablekeypoints_tpu.kernels.attn_capture import capture_attention
+
+                interp = jax.default_backend() != "tpu"
+                capture = capture_attention(q_up, k, scale, interp)
+            else:
+                sim_up = jnp.einsum(
+                    "bnhd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
+                )
+                attn_up = jax.nn.softmax(sim_up * scale, axis=-1)
+                capture = attn_up.mean(axis=1)  # [B, res^2, T], fp32
 
         return out, capture
 
@@ -249,6 +256,7 @@ class BasicTransformerBlock(nn.Module):
     dim_head: int
     dtype: jnp.dtype = jnp.bfloat16
     capture_res: Optional[int] = None
+    pallas_capture: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -257,7 +265,8 @@ class BasicTransformerBlock(nn.Module):
         )
         x = x + h
         h, capture = CrossAttention(
-            self.heads, self.dim_head, self.dtype, self.capture_res, name="attn2"
+            self.heads, self.dim_head, self.dtype, self.capture_res,
+            self.pallas_capture, name="attn2"
         )(LayerNorm32(name="norm2")(x), context)
         x = x + h
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
@@ -274,6 +283,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     capture_res: Optional[int] = None
+    pallas_capture: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -289,7 +299,8 @@ class Transformer2D(nn.Module):
             # stacks only exist in SDXL; SD1.5 always has depth 1)
             res = self.capture_res if i == 0 else None
             x, cap = BasicTransformerBlock(
-                inner, self.heads, self.dim_head, self.dtype, res, name=f"blocks_{i}"
+                inner, self.heads, self.dim_head, self.dtype, res,
+                self.pallas_capture, name=f"blocks_{i}"
             )(x, context)
             if cap is not None:
                 captures.append(cap)

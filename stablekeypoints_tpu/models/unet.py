@@ -74,6 +74,9 @@ class UNetConfig:
     linear_projection: bool = False
     max_capture_layers: int = 4
     capture_max_seq: int = 32 * 32
+    # fused Pallas kernel for the capture softmax/head-mean (TPU);
+    # interpret-mode fallback keeps CPU tests working
+    pallas_capture: bool = False
 
     def heads_for(self, channels: int) -> tuple[int, int]:
         if self.head_dim_fixed is not None:
@@ -218,6 +221,7 @@ class UpBlock(nn.Module):
                     depth=rev_depth[self.block_idx],
                     dtype=self.dtype,
                     capture_res=capture_res if do_capture else None,
+                    pallas_capture=cfg.pallas_capture,
                     name=f"attentions_{i}",
                 )(x, context)
                 if cap is not None:

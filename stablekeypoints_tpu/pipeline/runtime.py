@@ -93,6 +93,10 @@ class Runtime:
             unet_config = (
                 SDXL_CONFIG if "xl" in cfg.model_type.lower() else SD15_CONFIG
             )
+        if cfg.pallas_capture != "off":
+            use = cfg.pallas_capture == "on" or jax.default_backend() == "tpu"
+            if use != unet_config.pallas_capture:
+                unet_config = dataclasses.replace(unet_config, pallas_capture=use)
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         unet = UNet(unet_config, dtype=dtype)
         vae = VAE(vae_config, dtype=dtype)

@@ -1,0 +1,63 @@
+"""Fused capture-attention kernel vs unfused reference (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stablekeypoints_tpu.kernels.attn_capture import (
+    capture_attention,
+    capture_attention_reference,
+)
+
+
+def _make(b=1, n=256, h=4, d=32, t=37, seed=0):
+    kq, kk = jax.random.split(jax.random.PRNGKey(seed))
+    q = jax.random.normal(kq, (b, n, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t, h, d), jnp.float32)
+    return q, k
+
+
+@pytest.mark.parametrize("t", [37, 128, 500])
+def test_forward_matches_reference(t):
+    q, k = _make(t=t)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    out = capture_attention(q, k, scale, True)
+    ref = capture_attention_reference(q, k, scale)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_forward_batched():
+    q, k = _make(b=3, n=128, t=50)
+    scale = 0.1
+    out = capture_attention(q, k, scale, True)
+    ref = capture_attention_reference(q, k, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_backward_matches_reference():
+    q, k = _make(b=2, n=128, h=2, d=16, t=45)
+    scale = 1.0 / np.sqrt(16)
+
+    def loss_fused(q, k):
+        out = capture_attention(q, k, scale, True)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    def loss_ref(q, k):
+        out = capture_attention_reference(q, k, scale)
+        return jnp.sum(jnp.sin(out * 3.0))
+
+    gq1, gk1 = jax.grad(loss_fused, argnums=(0, 1))(q, k)
+    gq2, gk2 = jax.grad(loss_ref, argnums=(0, 1))(q, k)
+    np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq2), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_inputs():
+    q, k = _make(n=128, t=64)
+    q, k = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
+    out = capture_attention(q, k, 0.125, True)
+    ref = capture_attention_reference(q, k, 0.125)
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)

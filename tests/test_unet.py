@@ -189,3 +189,22 @@ def test_vae_encode_decode_shapes():
     assert lat.shape == (1, 8, 8, 4)
     dec = model.apply({"params": params}, lat, method=VAE.decode)
     assert dec.shape == (1, 64, 64, 3)
+
+
+def test_pallas_capture_matches_einsum_path():
+    """UNet with the fused Pallas capture (interpret mode on CPU) must match."""
+    import dataclasses
+
+    lat = jax.random.normal(jax.random.PRNGKey(7), (1, 32, 32, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (1, 12, 32))
+    cfg0 = tiny_unet_config()
+    cfg1 = dataclasses.replace(cfg0, pallas_capture=True)
+    params = weights.init_unet_params(jax.random.PRNGKey(0), cfg0, sample_hw=32)
+    caps = []
+    for cfg in (cfg0, cfg1):
+        model = UNet(cfg, dtype=jnp.float32)
+        _, c = model.apply({"params": params}, lat, t, ctx, capture_res=16, truncate=True)
+        caps.append(c)
+    for a, b in zip(*caps):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
