@@ -65,17 +65,19 @@ def main():
     )
     key = jax.random.PRNGKey(0)
 
-    # warmup (compile + first run)
+    # warmup (compile + first run); float() forces a device->host transfer,
+    # the only reliable sync on every backend (block_until_ready has been
+    # observed returning early on tunneled platforms)
     for _ in range(2):
         key, sub = jax.random.split(key)
         context, opt_state, metrics = runtime.train_step(context, opt_state, images, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jax.random.split(key)
         context, opt_state, metrics = runtime.train_step(context, opt_state, images, sub)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # steps chain through (context, opt_state)
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt

@@ -21,12 +21,10 @@ to the keypoint losses, which only read the captured maps.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
-
-from flax import linen as _nn
 
 from stablekeypoints_tpu.models.layers import (
     Downsample,
@@ -40,14 +38,17 @@ from stablekeypoints_tpu.models.layers import (
 # remat-wrapped variants: backward recomputes block activations instead of
 # storing them (the capture path's per-head attention tensors are the big
 # win — [B, heads, res^2, T] never survives the forward)
-ResnetBlockR = _nn.remat(ResnetBlock)
-Transformer2DR = _nn.remat(Transformer2D)
+ResnetBlockR = nn.remat(ResnetBlock)
+Transformer2DR = nn.remat(Transformer2D)
 
 
 def _blocks(remat: bool):
     return (ResnetBlockR, Transformer2DR) if remat else (ResnetBlock, Transformer2D)
 
-__all__ = ["UNetConfig", "UNet", "SD15_CONFIG", "tiny_unet_config"]
+__all__ = [
+    "UNetConfig", "UNet", "SD15_CONFIG", "SDXL_CONFIG",
+    "tiny_unet_config", "sdxl_tiny_config",
+]
 
 
 @dataclasses.dataclass(frozen=True)

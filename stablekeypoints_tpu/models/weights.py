@@ -12,7 +12,7 @@ needed: the learned context replaces its output entirely
 from __future__ import annotations
 
 import os
-import re
+
 from typing import Any, Callable
 
 import jax
@@ -49,6 +49,60 @@ def init_vae_params(key: jax.Array, config: VAEConfig, sample_hw: int = 64):
     model = VAE(config)
     images = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
     return model.init(key, images)["params"]
+
+
+def _fast_random_like(shapes, seed: int, stddev: float = 0.02):
+    """Host-side numpy fill for an eval_shape'd param tree (no device compile)."""
+    rng = np.random.default_rng(seed)
+
+    def fill(leaf):
+        arr = rng.standard_normal(leaf.shape).astype(np.float32) * stddev
+        if leaf.ndim == 1:  # biases / norm params: zeros-like is closer to init
+            arr = np.zeros(leaf.shape, np.float32)
+        return jnp.asarray(arr)
+
+    return jax.tree_util.tree_map(fill, shapes)
+
+
+def init_unet_params_fast(seed: int, config: UNetConfig, sample_hw: int = 64):
+    """Random-weight init without compiling the init program on device.
+
+    flax `.init` jit-compiles a full forward; through a remote-compile
+    tunnel that costs minutes for the 860M-param UNet. Benchmarks and
+    weightless environments only need correctly-shaped tensors, so we
+    eval_shape the init (pure tracing) and fill on host.
+    """
+    model = UNet(config)
+    latents = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 8, config.context_dim))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), latents, t, ctx)["params"]
+    params = _fast_random_like(shapes, seed)
+    # norm scales must be 1 (zeros would zero all activations)
+    def fix_norm_scales(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: fix_norm_scales(v, path + (k,)) for k, v in tree.items()}
+        if path[-1] == "scale":
+            return jnp.ones_like(tree)
+        return tree
+
+    return fix_norm_scales(params)
+
+
+def init_vae_params_fast(seed: int, config: VAEConfig, sample_hw: int = 64):
+    model = VAE(config)
+    images = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), images)["params"]
+    params = _fast_random_like(shapes, seed)
+
+    def fix_norm_scales(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: fix_norm_scales(v, path + (k,)) for k, v in tree.items()}
+        if path[-1] == "scale":
+            return jnp.ones_like(tree)
+        return tree
+
+    return fix_norm_scales(params)
 
 
 def cast_params(params, dtype=jnp.bfloat16):

@@ -104,13 +104,13 @@ class Runtime:
             unet_params = W.load_unet_params(cfg.model_path, unet_config, dtype)
             vae_params = W.load_vae_params(cfg.model_path, vae_config, dtype)
         else:
-            k1, k2 = jax.random.split(jax.random.PRNGKey(cfg.seed))
             sample_hw = max(cfg.image_size // 8, 32)
             unet_params = W.cast_params(
-                W.init_unet_params(k1, unet_config, sample_hw), dtype
+                W.init_unet_params_fast(cfg.seed, unet_config, sample_hw), dtype
             )
             vae_params = W.cast_params(
-                W.init_vae_params(k2, vae_config, min(cfg.image_size, 64)), dtype
+                W.init_vae_params_fast(cfg.seed + 1, vae_config, min(cfg.image_size, 64)),
+                dtype,
             )
         mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
         rt = Runtime(
