@@ -2,24 +2,30 @@
 
 The capture path computes, per eligible cross-attention layer,
 
-    out[b, n, t] = mean_h softmax_t( q[b, n, h, :] . k[b, t, h, :] * scale )
+    out[b, n, t] = mean_h softmax_t( q[b, h, n, :] . k[b, h, t, :] * scale )
 
 with n up to 128^2 = 16384 queries and t = num_tokens (500). The XLA
 lowering materializes the [B, H, N, T] similarity + softmax tensors in HBM
-(~0.5-2 GB per layer per forward) and pays three HBM passes over them; this
-kernel keeps a [BN, T] tile per head in VMEM, writing only the [B, N, T]
-head-averaged output. Backward is a second kernel that recomputes the
-per-head softmax tile and accumulates dQ and dK (softmax VJP), wrapped as a
-jax.custom_vjp.
+and pays multiple HBM passes over them; this kernel keeps one (head, query
+block) [BN, T] tile in VMEM and accumulates the head-mean directly into the
+[B, N, T] output block.
+
+Layout notes (TPU): heads live on a *grid* dimension, never sliced out of
+the lane axis (offset slicing at d_head=160 would force relayouts). The
+forward grid is (B, N/BN, H) with H innermost so the output block stays
+resident in VMEM across the head accumulation; the backward grid is
+(B, H, N/BN) with the query-block dim innermost so the dK block stays
+resident across its accumulation.
 
 Token count is padded to a lane multiple; padded key columns are masked to
 -inf before the softmax so results match the unpadded einsum path exactly.
+Wrapped in jax.custom_vjp (the backward kernel recomputes the softmax tile
+and applies the softmax VJP).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,63 +46,53 @@ def capture_attention_reference(q: jnp.ndarray, k: jnp.ndarray, scale: float) ->
     return attn.mean(axis=1)
 
 
-def _fwd_kernel(q_ref, k_ref, out_ref, *, heads: int, dim_head: int, t_true: int, scale: float):
-    bn = q_ref.shape[1]
-    t_pad = k_ref.shape[1]
+def _softmax_tile(qh, kh, valid, scale):
+    sim = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    sim = jnp.where(valid, sim, -jnp.inf)
+    return jax.nn.softmax(sim, axis=-1)
+
+
+def _fwd_kernel(q_ref, k_ref, out_ref, *, heads: int, t_true: int, scale: float):
+    bn, t_pad = out_ref.shape[1], out_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
-    valid = col < t_true
-    acc = jnp.zeros((bn, t_pad), jnp.float32)
-    for h in range(heads):
-        qh = q_ref[0, :, h * dim_head : (h + 1) * dim_head]
-        kh = k_ref[0, :, h * dim_head : (h + 1) * dim_head]
-        sim = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        sim = jnp.where(valid, sim, -jnp.inf)
-        acc = acc + jax.nn.softmax(sim, axis=-1)
-    out_ref[0] = acc * (1.0 / heads)
+    p = _softmax_tile(q_ref[0, 0], k_ref[0, 0], col < t_true, scale)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += p * (1.0 / heads)
 
 
 def _bwd_kernel(
-    q_ref, k_ref, g_ref, dq_ref, dk_ref, *, heads: int, dim_head: int, t_true: int, scale: float
+    q_ref, k_ref, g_ref, dq_ref, dk_ref, *, heads: int, t_true: int, scale: float
 ):
-    bn = q_ref.shape[1]
-    t_pad = k_ref.shape[1]
+    bn, t_pad = g_ref.shape[1], g_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
     valid = col < t_true
-    g = g_ref[0] * (1.0 / heads)  # d(out)/d(per-head softmax)
+    qh = q_ref[0, 0]
+    kh = k_ref[0, 0]
+    p = _softmax_tile(qh, kh, valid, scale)
+    g = g_ref[0] * (1.0 / heads)
+    t1 = g * p
+    dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
+    dsim = jnp.where(valid, dsim, 0.0)
 
-    @pl.when(pl.program_id(1) == 0)
+    dq_ref[0, 0] = jax.lax.dot_general(
+        dsim, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
     def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
 
-    for h in range(heads):
-        sl = slice(h * dim_head, (h + 1) * dim_head)
-        qh = q_ref[0, :, sl]
-        kh = k_ref[0, :, sl]
-        sim = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        sim = jnp.where(valid, sim, -jnp.inf)
-        p = jax.nn.softmax(sim, axis=-1)
-        t1 = g * p
-        dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
-        dsim = jnp.where(valid, dsim, 0.0)
-        dq_ref[0, :, sl] = jax.lax.dot_general(
-            dsim, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dq_ref.dtype)
-        dk_ref[0, :, sl] += jax.lax.dot_general(
-            dsim, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dk_ref.dtype)
-
-
-def _pad_tokens(k: jnp.ndarray, t_pad: int) -> jnp.ndarray:
-    t = k.shape[1]
-    if t == t_pad:
-        return k
-    return jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+    dk_ref[0, 0] += jax.lax.dot_general(
+        dsim, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
 
 
 def _block_n(n: int) -> int:
@@ -104,6 +100,18 @@ def _block_n(n: int) -> int:
         if n % bn == 0:
             return bn
     return n
+
+
+def _prep(q, k):
+    """[B, N, H, D] / [B, T, H, D] -> head-major [B, H, N, D] / padded k."""
+    b, n, h, d = q.shape
+    t = k.shape[1]
+    t_pad = _round_up(t, 128)
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    if t_pad != t:
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+    return qh, kh, t_pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -115,22 +123,20 @@ def capture_attention(q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: b
 def _capture_fwd_impl(q, k, scale, interpret):
     b, n, h, d = q.shape
     t = k.shape[1]
-    t_pad = _round_up(t, 128)
+    qh, kh, t_pad = _prep(q, k)
     bn = _block_n(n)
-    kp = _pad_tokens(k, t_pad).reshape(b, t_pad, h * d)
-    q2 = q.reshape(b, n, h * d)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=h, dim_head=d, t_true=t, scale=scale),
-        grid=(b, n // bn),
+        functools.partial(_fwd_kernel, heads=h, t_true=t, scale=scale),
+        grid=(b, n // bn, h),  # h innermost: out block accumulates in VMEM
         in_specs=[
-            pl.BlockSpec((1, bn, h * d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, h * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn, d), lambda i, j, hh: (i, hh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, j, hh: (i, hh, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bn, t_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, bn, t_pad), lambda i, j, hh: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, t_pad), jnp.float32),
         interpret=interpret,
-    )(q2, kp)
+    )(qh, kh)
     return out[:, :, :t]
 
 
@@ -143,34 +149,31 @@ def _capture_bwd(scale, interpret, res, g):
     q, k = res
     b, n, h, d = q.shape
     t = k.shape[1]
-    t_pad = _round_up(t, 128)
+    qh, kh, t_pad = _prep(q, k)
     bn = _block_n(n)
-    kp = _pad_tokens(k, t_pad).reshape(b, t_pad, h * d)
-    q2 = q.reshape(b, n, h * d)
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t))).astype(jnp.float32)
 
     dq, dk = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=h, dim_head=d, t_true=t, scale=scale),
-        grid=(b, n // bn),
+        functools.partial(_bwd_kernel, heads=h, t_true=t, scale=scale),
+        grid=(b, h, n // bn),  # n-block innermost: dk block accumulates in VMEM
         in_specs=[
-            pl.BlockSpec((1, bn, h * d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_pad, h * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn, t_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, t_pad), lambda i, hh, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bn, h * d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            # dk block revisited across the n-grid: accumulated sequentially
-            pl.BlockSpec((1, t_pad, h * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n, h * d), jnp.float32),
-            jax.ShapeDtypeStruct((b, t_pad, h * d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q2, kp, gp)
+    )(qh, kh, gp)
 
-    dq = dq.reshape(b, n, h, d).astype(q.dtype)
-    dk = dk[:, :t].reshape(b, t, h, d).astype(k.dtype)
+    dq = dq.transpose(0, 2, 1, 3).astype(q.dtype)
+    dk = dk[:, :, :t].transpose(0, 2, 1, 3).astype(k.dtype)
     return dq, dk
 
 
