@@ -16,7 +16,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "tensor_parallel_shardings",
+]
 
 
 def make_mesh(n_data: int = -1, n_model: int = 1, devices=None) -> Mesh:
@@ -40,3 +46,41 @@ def shard_batch(mesh: Mesh, batch):
     """Device_put a pytree of [B, ...] arrays with B sharded over 'data'."""
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+# Megatron-style tensor-parallel rules for the UNet transformer blocks:
+# column-parallel qkv / ff-in (output features sharded over 'model'),
+# row-parallel to_out / ff-out (input features sharded; GSPMD inserts the
+# psum). Convs and norms stay replicated — for SD-scale models the
+# transformer matmuls dominate the shardable weight compute; SD-1.5 fits
+# per chip so TP is off by default (n_model=1) and exists for the larger
+# backbones (SDXL) and the multichip dryrun.
+_COLUMN_PARALLEL = ("to_q", "to_k", "to_v")
+_ROW_PARALLEL = ("to_out",)
+
+
+def _param_spec(path: tuple[str, ...]) -> P:
+    names = set(path)
+    leaf = path[-1]
+    if leaf != "kernel":
+        return P()
+    if any(m in names for m in _COLUMN_PARALLEL):
+        return P(None, "model")
+    if any(m in names for m in _ROW_PARALLEL):
+        return P("model", None)
+    if "ff" in names and "proj_in" in names:
+        return P(None, "model")
+    if "ff" in names and "proj_out" in names:
+        return P("model", None)
+    return P()
+
+
+def tensor_parallel_shardings(mesh: Mesh, params):
+    """NamedSharding tree for a UNet param tree (TP over 'model')."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return NamedSharding(mesh, _param_spec(path))
+
+    return walk(params, ())

@@ -113,9 +113,18 @@ class Runtime:
                 dtype,
             )
         mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
+        if mesh.shape["model"] > 1:
+            # Megatron-style TP over the transformer matmuls; GSPMD
+            # propagates activation shardings and inserts the psums
+            unet_shardings = pmesh.tensor_parallel_shardings(mesh, unet_params)
+            unet_params = jax.tree_util.tree_map(
+                jax.device_put, unet_params, unet_shardings
+            )
+        else:
+            unet_params = jax.device_put(unet_params, pmesh.replicated(mesh))
         rt = Runtime(
             cfg, unet, vae,
-            jax.device_put(unet_params, pmesh.replicated(mesh)),
+            unet_params,
             jax.device_put(vae_params, pmesh.replicated(mesh)),
             DDIMSchedule.create(), mesh,
         )
@@ -225,7 +234,9 @@ class Runtime:
 
         jitted = jax.jit(
             step,
-            in_shardings=(repl, repl, repl, repl, data, repl),
+            # None: inherit the committed sharding of the frozen params
+            # (replicated, or tensor-parallel over 'model')
+            in_shardings=(None, None, repl, repl, data, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(2, 3),
         )
@@ -244,7 +255,7 @@ class Runtime:
             )
 
         jitted = jax.jit(
-            fn, in_shardings=(repl, repl, repl, data, repl), out_shardings=data
+            fn, in_shardings=(None, None, repl, data, repl), out_shardings=data
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 
@@ -291,7 +302,7 @@ class Runtime:
             return jnp.nan_to_num(avg, nan=0.0, posinf=0.0, neginf=0.0)
 
         jitted = jax.jit(
-            fn, in_shardings=(repl, repl, repl, repl, repl, repl), out_shardings=repl
+            fn, in_shardings=(None, None, repl, repl, repl, repl), out_shardings=repl
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 
@@ -321,7 +332,7 @@ class Runtime:
             return jax.vmap(per_image)(maps)
 
         jitted = jax.jit(
-            fn, in_shardings=(repl, repl, repl, data, repl), out_shardings=repl
+            fn, in_shardings=(None, None, repl, data, repl), out_shardings=repl
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 

@@ -1,0 +1,64 @@
+"""Sharding layout tests on the 8-virtual-device mesh."""
+
+import jax
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from stablekeypoints_tpu.config import Config
+from stablekeypoints_tpu.models.unet import tiny_unet_config
+from stablekeypoints_tpu.models.vae import tiny_vae_config
+from stablekeypoints_tpu.parallel import mesh as pmesh
+from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+
+def test_tensor_parallel_param_specs():
+    spec = pmesh._param_spec(("up_1", "attentions_0", "blocks_0", "attn2", "to_q", "kernel"))
+    assert spec == P(None, "model")
+    spec = pmesh._param_spec(("up_1", "attentions_0", "blocks_0", "attn2", "to_out", "kernel"))
+    assert spec == P("model", None)
+    spec = pmesh._param_spec(("up_1", "attentions_0", "blocks_0", "ff", "proj_in", "kernel"))
+    assert spec == P(None, "model")
+    spec = pmesh._param_spec(("up_1", "attentions_0", "blocks_0", "ff", "proj_out", "kernel"))
+    assert spec == P("model", None)
+    # convs / norms replicated
+    assert pmesh._param_spec(("down_0", "resnets_0", "conv1", "kernel")) == P()
+    assert pmesh._param_spec(("down_0", "resnets_0", "norm1", "scale")) == P()
+
+
+def test_dp_tp_train_step_runs():
+    """data=4 x model=2 mesh: one full step with TP'd transformer weights."""
+    mesh = pmesh.make_mesh(4, 2)
+    cfg = Config(
+        dataset_name="synthetic", image_size=64, num_tokens=16,
+        feature_upsample_res=16, batch_size=4, furthest_point_num_samples=8,
+        top_k=4, dtype="float32",
+    )
+    rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config(), mesh=mesh)
+    # qkv kernels actually sharded over 'model'
+    leaf = rt.unet_params["up_1"]["attentions_0"]["blocks_0"]["attn2"]["to_q"]["kernel"]
+    assert leaf.sharding.spec == P(None, "model")
+
+    images = pmesh.shard_batch(mesh, np.random.default_rng(0).uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    ctx = rt.init_context()
+    opt_state = jax.device_put(rt.optimizer.init(ctx), pmesh.replicated(mesh))
+    ctx, opt_state, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_tp_matches_dp_only():
+    """TP must not change the math: compare losses across mesh layouts."""
+    cfg = Config(
+        dataset_name="synthetic", image_size=64, num_tokens=16,
+        feature_upsample_res=16, batch_size=4, furthest_point_num_samples=8,
+        top_k=4, dtype="float32",
+    )
+    losses = []
+    for (nd, nm) in ((4, 1), (2, 2)):
+        mesh = pmesh.make_mesh(nd, nm)
+        rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config(), mesh=mesh)
+        images = pmesh.shard_batch(mesh, np.ones((4, 64, 64, 3), np.float32) * 0.4)
+        ctx = rt.init_context()
+        opt_state = jax.device_put(rt.optimizer.init(ctx), pmesh.replicated(mesh))
+        _, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
