@@ -68,16 +68,15 @@ def main():
     # warmup (compile + first run); float() forces a device->host transfer,
     # the only reliable sync on every backend (block_until_ready has been
     # observed returning early on tunneled platforms)
+    key = jax.device_put(key)
     for _ in range(2):
-        key, sub = jax.random.split(key)
-        context, opt_state, metrics = runtime.train_step(context, opt_state, images, sub)
+        context, opt_state, key, metrics = runtime.train_step(context, opt_state, images, key)
     float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        key, sub = jax.random.split(key)
-        context, opt_state, metrics = runtime.train_step(context, opt_state, images, sub)
-    float(metrics["loss"])  # steps chain through (context, opt_state)
+        context, opt_state, key, metrics = runtime.train_step(context, opt_state, images, key)
+    float(metrics["loss"])  # steps chain through (context, opt_state, key)
     dt = time.perf_counter() - t0
 
     steps_per_sec = steps / dt

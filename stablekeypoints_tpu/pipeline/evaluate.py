@@ -6,7 +6,6 @@ import jax
 import numpy as np
 
 from stablekeypoints_tpu.pipeline.metrics import apply_regressor, compute_metric
-from stablekeypoints_tpu.pipeline.regressor import extract_keypoints
 from stablekeypoints_tpu.pipeline.runtime import Runtime
 from stablekeypoints_tpu.utils.artifacts import save_artifact
 
@@ -21,21 +20,27 @@ def evaluate(runtime: Runtime, dataset, context, indices, regressor, logger=None
 
     order = np.random.default_rng(cfg.seed + 5).permutation(len(dataset))
     all_values = []
-    for count, di in enumerate(order):
-        sample = dataset[int(di)]
+    m = max(1, cfg.eval_batch_images)
+    for lo in range(0, len(order), m):
+        chunk = order[lo : lo + m]
+        samples = [dataset[int(di)] for di in chunk]
+        images = np.stack([np.asarray(s["img"], np.float32) for s in samples])
+        if images.shape[0] < m:  # pad the tail chunk to keep one jit shape
+            pad = np.repeat(images[-1:], m - images.shape[0], axis=0)
+            images = np.concatenate([images, pad])
         key, sub = jax.random.split(key)
-        maps = runtime.augmented_maps_fn(context, sample["img"], idx_arr, sub)
-        found = extract_keypoints(maps, cfg.max_loc_strategy)
-        est = apply_regressor(found, reg)
-        val = compute_metric(
-            cfg.evaluation_method, est, np.asarray(sample["kpts"]), sample.get("visibility")
-        )
-        all_values.append(val)
-        if logger is not None and (count % 100 == 0 or count == len(order) - 1):
+        pts = np.asarray(runtime.augmented_keypoints_fn(context, images, idx_arr, sub))
+        for s, found in zip(samples, pts):
+            est = apply_regressor(found, reg)
+            val = compute_metric(
+                cfg.evaluation_method, est, np.asarray(s["kpts"]), s.get("visibility")
+            )
+            all_values.append(val)
+        if logger is not None and (lo % (100 * m) < m or lo + m >= len(order)):
             logger.log(
                 {
                     "stage": 5,
-                    "evaluated": count + 1,
+                    "evaluated": len(all_values),
                     "mean_distance": float(np.mean(all_values)),
                 }
             )

@@ -64,18 +64,18 @@ def optimize_embedding(
             )
             if logger is not None:
                 logger.log({"stage": 1, "event": "resumed", "step": start_step})
-    key = jax.random.PRNGKey(cfg.seed + 1)
-    for _ in range(start_step):  # keep the data/noise stream aligned
-        key, _ = jax.random.split(key)
+    # the PRNG key is device state chained through the jitted step (no
+    # host-side split per step); resume alignment comes from folding in the
+    # start step once
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step)
 
     start = time.time()
     it_start = start
     for step in range(start_step, cfg.num_steps):
         batch = next(it)
         images = pmesh.shard_batch(runtime.mesh, batch["img"])
-        key, sub = jax.random.split(key)
-        context, opt_state, metrics = runtime.train_step(
-            context, opt_state, images, sub
+        context, opt_state, key, metrics = runtime.train_step(
+            context, opt_state, images, key
         )
         if logger is not None and (step % cfg.log_every == 0 or step == cfg.num_steps - 1):
             now = time.time()

@@ -49,16 +49,23 @@ def precompute_all_keypoints(runtime: Runtime, dataset, context, indices, logger
 
     source, target, visibility = [], [], []
     idx_arr = np.asarray(indices, np.int32)
-    for count, di in enumerate(order):
-        sample = dataset[int(di)]
+    m = max(1, cfg.eval_batch_images)
+    for lo in range(0, n, m):
+        chunk = order[lo : lo + m]
+        samples = [dataset[int(di)] for di in chunk]
+        images = np.stack([np.asarray(s["img"], np.float32) for s in samples])
+        if images.shape[0] < m:  # pad the tail chunk to keep one jit shape
+            pad = np.repeat(images[-1:], m - images.shape[0], axis=0)
+            images = np.concatenate([images, pad])
         key, sub = jax.random.split(key)
-        maps = runtime.augmented_maps_fn(context, sample["img"], idx_arr, sub)
-        source.append(extract_keypoints(maps, cfg.max_loc_strategy))
-        target.append(np.asarray(sample["kpts"], np.float32))
-        if "visibility" in sample:
-            visibility.append(np.asarray(sample["visibility"], np.float32))
-        if logger is not None and count % 50 == 0:
-            logger.log({"stage": 3, "precomputed": count + 1, "total": n})
+        pts = np.asarray(runtime.augmented_keypoints_fn(context, images, idx_arr, sub))
+        for s, p in zip(samples, pts):
+            source.append(p)
+            target.append(np.asarray(s["kpts"], np.float32))
+            if "visibility" in s:
+                visibility.append(np.asarray(s["visibility"], np.float32))
+        if logger is not None and lo % (50 * m) < m:
+            logger.log({"stage": 3, "precomputed": lo + len(chunk), "total": n})
 
     vis = np.stack(visibility) if visibility else None
     return np.stack(source), np.stack(target), vis

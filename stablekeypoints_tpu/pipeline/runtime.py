@@ -59,9 +59,10 @@ def collect_maps(
     and index selection commutes with both.
     """
     sel = [captures[i] for i in layers if i < len(captures)]
-    maps = jnp.mean(jnp.stack(sel, axis=0), axis=0)  # [B, R^2, T]
     if indices is not None:
-        maps = maps[:, :, indices]
+        # select before stacking: only one full-token map is ever live
+        sel = [c[:, :, indices] for c in sel]
+    maps = jnp.mean(jnp.stack(sel, axis=0), axis=0)  # [B, R^2, T']
     b, rr, t = maps.shape
     r = int(round(rr**0.5))
     maps = maps.transpose(0, 2, 1).reshape(b, t, r, r)
@@ -184,19 +185,27 @@ class Runtime:
         return sl, el
 
     def _train_step(self, unet_params, vae_params, opt, context, opt_state, images, key):
+        """One optimization step. `key` is chained *inside* jit: the caller
+        threads the returned key back in, so the host never dispatches
+        split/fold_in as separate tiny device programs (which costs real
+        milliseconds per step on remote-dispatch targets)."""
         cfg = self.cfg
-        k_noise1, k_noise2, k_theta = jax.random.split(key, 3)
+        key, k_noise, k_theta = jax.random.split(key, 3)
         aff = AffineParams(cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate))
-        thetas = sample_thetas(k_theta, images.shape[0], aff)
+        b = images.shape[0]
+        thetas = sample_thetas(k_theta, b, aff)
         images_t = apply_affine(images, thetas)
+        # one merged forward over [orig; warped]: batch ops are independent
+        # per element, so this is mathematically the reference's two
+        # forwards (optimize.py:349-375) with better MXU utilization and
+        # half the dispatches
+        both = jnp.concatenate([images, images_t], axis=0)
 
         def loss_fn(ctx):
-            maps = self._attn_maps(
-                unet_params, vae_params, images, ctx, k_noise1, -1, None, cfg.truncate_unet
+            maps_all = self._attn_maps(
+                unet_params, vae_params, both, ctx, k_noise, -1, None, cfg.truncate_unet
             )
-            maps_t = self._attn_maps(
-                unet_params, vae_params, images_t, ctx, k_noise2, -1, None, cfg.truncate_unet
-            )
+            maps, maps_t = maps_all[:b], maps_all[b:]
             sls, els = jax.vmap(self._per_sample_losses)(maps, maps_t, thetas)
             sl, el = jnp.mean(sls), jnp.mean(els)
             loss = sl * cfg.sharpening_loss_weight + el * cfg.equivariance_attn_loss_weight
@@ -206,7 +215,7 @@ class Runtime:
         updates, opt_state = opt.update(grads, opt_state, context)
         context = optax.apply_updates(context, updates)
         aux = dict(aux, loss=loss)
-        return context, opt_state, aux
+        return context, opt_state, key, aux
 
     # ------------------------------------------------------------------
     # jitted public entry points
@@ -217,11 +226,12 @@ class Runtime:
 
     @functools.cached_property
     def train_step(self):
-        """(context, opt_state, images, key) -> (context, opt_state, metrics).
+        """(context, opt_state, images, key) -> (context, opt_state, key', metrics).
 
         Frozen model params are passed as (pre-sharded) arguments rather than
         closed over, so they are donated-free runtime inputs instead of
-        baked-in executable constants.
+        baked-in executable constants. The PRNG key is split inside the
+        program and the successor key returned; thread it into the next call.
         """
         repl = pmesh.replicated(self.mesh)
         data = pmesh.batch_sharding(self.mesh)
@@ -237,8 +247,8 @@ class Runtime:
             # None: inherit the committed sharding of the frozen params
             # (replicated, or tensor-parallel over 'model')
             in_shardings=(None, None, repl, repl, data, repl),
-            out_shardings=(repl, repl, repl),
-            donate_argnums=(2, 3),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(2, 3, 5),
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 
@@ -300,6 +310,66 @@ class Runtime:
             total = inv(maps).sum(axis=0)
             avg = total / num
             return jnp.nan_to_num(avg, nan=0.0, posinf=0.0, neginf=0.0)
+
+        jitted = jax.jit(
+            fn, in_shardings=(None, None, repl, repl, repl, repl), out_shardings=repl
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def augmented_keypoints_fn(self):
+        """Ensembled keypoints for a batch of images, extracted on device.
+
+        (context, images [M, H, W, 3], indices [k], key) -> [M, k, 2]
+        normalized (y, x). Composition of run_image_with_context_augmented +
+        find_max_pixel/pixel_from_weighted_avg (eval.py:197-355, 447-450,
+        keypoint_regressor.py:174-192): per image, `augmentation_iterations`
+        affine views are batched through one forward, inverse-warped,
+        averaged, and reduced to argmax/soft-argmax keypoints — only the
+        [M, k, 2] result leaves the device (the reference ships [k, 512,
+        512] maps to the host per image).
+        """
+        cfg = self.cfg
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def fn(unet_params, vae_params, context, images, indices, key):
+            m = images.shape[0]
+            n = cfg.augmentation_iterations
+            size = images.shape[1]
+            k_theta, k_noise = jax.random.split(key)
+            aff = AffineParams(
+                cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+            )
+            thetas = sample_thetas(k_theta, m * n, aff)
+            imgs = jnp.repeat(images, n, axis=0)  # [M*n, H, W, 3]
+            imgs_t = apply_affine(imgs, thetas)
+            imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
+            maps = self._attn_maps(
+                unet_params, vae_params, imgs_t, context, k_noise, size, indices, True
+            )  # [M*n, k, S, S]
+
+            def inv(x):
+                from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
+
+                return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(0, 3, 1, 2)
+
+            kk = maps.shape[1]
+            num = inv(jnp.ones_like(maps)).reshape(m, n, kk, size, size).sum(axis=1)
+            tot = inv(maps).reshape(m, n, kk, size, size).sum(axis=1)
+            avg = jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)
+
+            from stablekeypoints_tpu.ops.keypoints import (
+                find_max_pixel,
+                pixel_from_weighted_avg,
+            )
+
+            flat = avg.reshape(m * kk, size, size)
+            if cfg.max_loc_strategy == "argmax":
+                pts = find_max_pixel(flat)
+            else:
+                pts = pixel_from_weighted_avg(flat)
+            return pts.reshape(m, kk, 2) / size
 
         jitted = jax.jit(
             fn, in_shardings=(None, None, repl, repl, repl, repl), out_shardings=repl

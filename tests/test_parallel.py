@@ -41,7 +41,7 @@ def test_dp_tp_train_step_runs():
     images = pmesh.shard_batch(mesh, np.random.default_rng(0).uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
     ctx = rt.init_context()
     opt_state = jax.device_put(rt.optimizer.init(ctx), pmesh.replicated(mesh))
-    ctx, opt_state, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(0))
+    ctx, opt_state, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
 
 
@@ -59,6 +59,6 @@ def test_dp_tp_matches_dp_only():
         images = pmesh.shard_batch(mesh, np.ones((4, 64, 64, 3), np.float32) * 0.4)
         ctx = rt.init_context()
         opt_state = jax.device_put(rt.optimizer.init(ctx), pmesh.replicated(mesh))
-        _, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(1))
+        _, _, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(1))
         losses.append(float(m["loss"]))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)

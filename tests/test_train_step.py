@@ -95,7 +95,7 @@ def test_loss_decreases_on_synthetic(tiny_runtime):
         batch = next(loader)
         key, sub = _jax.random.split(key)
         imgs = pmesh.shard_batch(rt.mesh, batch["img"])
-        ctx, opt_state, m = rt.train_step(ctx, opt_state, imgs, sub)
+        ctx, opt_state, sub, m = rt.train_step(ctx, opt_state, imgs, sub)
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert min(losses[4:]) < losses[0]
