@@ -63,12 +63,11 @@ def main():
     opt_state = jax.device_put(
         runtime.optimizer.init(context), pmesh.replicated(runtime.mesh)
     )
-    key = jax.random.PRNGKey(0)
-
     # warmup (compile + first run); float() forces a device->host transfer,
     # the only reliable sync on every backend (block_until_ready has been
-    # observed returning early on tunneled platforms)
-    key = jax.device_put(key)
+    # observed returning early on tunneled platforms). The key is committed
+    # replicated so the chained key's sharding matches from step one.
+    key = jax.device_put(jax.random.PRNGKey(0), pmesh.replicated(runtime.mesh))
     for _ in range(2):
         context, opt_state, key, metrics = runtime.train_step(context, opt_state, images, key)
     float(metrics["loss"])

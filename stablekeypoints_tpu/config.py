@@ -76,6 +76,7 @@ class Config:
     checkpoint_every: int = 0  # 0 = only stage-end artifacts
     resume: bool = False  # resume from checkpoints / stage artifacts
     log_every: int = 10
+    profile_steps: int = 0  # capture a jax.profiler trace of N stage-1 steps
 
     @property
     def context_shape(self) -> tuple[int, int, int]:

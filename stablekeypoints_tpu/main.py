@@ -93,6 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="resume from mid-stage checkpoints / stage artifacts")
     p.add_argument("--log_every", type=int, default=d.log_every)
+    p.add_argument("--profile_steps", type=int, default=d.profile_steps,
+                   help="capture a jax.profiler trace of N stage-1 steps")
     return p
 
 

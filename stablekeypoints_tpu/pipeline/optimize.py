@@ -67,16 +67,27 @@ def optimize_embedding(
     # the PRNG key is device state chained through the jitted step (no
     # host-side split per step); resume alignment comes from folding in the
     # start step once
-    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step)
+    key = jax.device_put(
+        jax.random.fold_in(jax.random.PRNGKey(cfg.seed + 1), start_step),
+        pmesh.replicated(runtime.mesh),
+    )
 
+    profiling = False
     start = time.time()
     it_start = start
     for step in range(start_step, cfg.num_steps):
+        if cfg.profile_steps and step == start_step + 1:  # skip compile step
+            jax.profiler.start_trace(f"{cfg.save_folder}/profile")
+            profiling = True
         batch = next(it)
         images = pmesh.shard_batch(runtime.mesh, batch["img"])
         context, opt_state, key, metrics = runtime.train_step(
             context, opt_state, images, key
         )
+        if profiling and step == start_step + cfg.profile_steps:
+            float(metrics["loss"])  # sync before closing the trace
+            jax.profiler.stop_trace()
+            profiling = False
         if logger is not None and (step % cfg.log_every == 0 or step == cfg.num_steps - 1):
             now = time.time()
             logger.log(
