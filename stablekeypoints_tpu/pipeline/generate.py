@@ -83,3 +83,40 @@ def generate_images(
 
     images, maps = sample(context, key, capture_final_maps)
     return (np.asarray(images), None if maps is None else np.asarray(maps))
+
+
+def main(argv=None):
+    """Standalone generation CLI (generate_image.py:20-39 parity): load the
+    learned embedding from --save_folder and sample images with it."""
+    import argparse
+    import os
+
+    from PIL import Image
+
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.utils.artifacts import load_artifact
+
+    p = argparse.ArgumentParser(description="generate images with a learned embedding")
+    p.add_argument("--save_folder", type=str, default="outputs")
+    p.add_argument("--model_type", type=str, default=Config.model_type)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--num_images", type=int, default=1)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    embedding = load_artifact(args.save_folder, "embedding")
+    cfg = Config(
+        model_type=args.model_type, model_path=args.model_path,
+        image_size=args.image_size, num_tokens=embedding.shape[1], seed=args.seed,
+    )
+    runtime = Runtime.create(cfg)
+    images, _ = generate_images(runtime, jnp.asarray(embedding), args.num_images)
+    for i, img in enumerate(images):
+        out = os.path.join(args.save_folder, f"generated_{i:03d}.png")
+        Image.fromarray((img * 255).astype(np.uint8)).save(out)
+        print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

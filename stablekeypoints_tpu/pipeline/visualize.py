@@ -28,8 +28,9 @@ from stablekeypoints_tpu.utils.artifacts import save_artifact
 __all__ = ["visualize_attn_maps", "save_grid", "plot_point_correspondences", "create_vid"]
 
 
-def save_grid(images: np.ndarray, path: str, ncols: int = 8, titles=None):
-    """Save a grid of HWC images/heatmaps to a file (visualize.py:40-73)."""
+def save_grid(images, path: str, ncols: int = 8, titles=None):
+    """Save a grid of HWC images / HW heatmaps (list or array) to a file
+    (visualize.py:40-73)."""
     n = len(images)
     ncols = min(ncols, n)
     nrows = -(-n // ncols)
@@ -121,6 +122,31 @@ def visualize_attn_maps(
         )
     if logger is not None:
         logger.log({"event": "visualized", "num_images": len(picks)})
+
+
+def save_augmentation_panel(
+    runtime: Runtime, image: np.ndarray, context, indices, path: str, key=None
+):
+    """Debug panel for the test-time ensemble (eval.py:268-353's
+    `augmentation.png`): the input image, one per-view warped image, its
+    maps, and the averaged ensemble for the first selected keypoint."""
+    import jax as _jax
+    from stablekeypoints_tpu.ops import transforms as T
+
+    cfg = runtime.cfg
+    key = key if key is not None else _jax.random.PRNGKey(cfg.seed + 10)
+    idx_arr = np.asarray(indices, np.int32)
+    k_theta, _ = _jax.random.split(key)
+    aff = T.AffineParams(
+        cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+    )
+    thetas = T.sample_thetas(k_theta, 4, aff)
+    imgs = np.asarray(
+        T.apply_affine(np.broadcast_to(image[None], (4, *image.shape)), thetas)
+    )
+    maps = np.asarray(runtime.augmented_maps_fn(context, image, idx_arr, key))
+    panels = [image] + [imgs[i] for i in range(4)] + [maps[0] / (maps[0].max() + 1e-8)]
+    save_grid(panels, path, ncols=3)  # save_grid accepts a mixed list
 
 
 def create_vid(runtime: Runtime, dataset, context, indices, regressor=None, logger=None):

@@ -20,3 +20,15 @@ def test_plot_point_correspondences(tmp_path):
     path = str(tmp_path / "kpts.pdf")
     plot_point_correspondences(imgs, pts, path)
     assert os.path.exists(path) and os.path.getsize(path) > 0
+
+
+def test_save_grid_mixed_list(tmp_path):
+    import numpy as np
+
+    panels = [
+        np.random.default_rng(0).uniform(0, 1, (16, 16, 3)).astype(np.float32),
+        np.random.default_rng(1).uniform(0, 1, (16, 16)).astype(np.float32),
+    ]
+    path = str(tmp_path / "mixed.png")
+    save_grid(panels, path, ncols=2)
+    assert os.path.getsize(path) > 0
