@@ -52,16 +52,30 @@ def init_vae_params(key: jax.Array, config: VAEConfig, sample_hw: int = 64):
 
 
 def _fast_random_like(shapes, seed: int, stddev: float = 0.02):
-    """Host-side numpy fill for an eval_shape'd param tree (no device compile)."""
+    """Host-side numpy fill for an eval_shape'd param tree.
+
+    Stays in numpy end to end — on remote-dispatch backends every per-leaf
+    device op (asarray/astype) costs a round trip and possibly a tiny
+    remote compile, which for ~700 leaves adds up to tens of minutes.
+    """
     rng = np.random.default_rng(seed)
+    width = stddev * 3.46  # uniform with matching variance; ~10x faster to draw
 
     def fill(leaf):
-        arr = rng.standard_normal(leaf.shape).astype(np.float32) * stddev
         if leaf.ndim == 1:  # biases / norm params: zeros-like is closer to init
-            arr = np.zeros(leaf.shape, np.float32)
-        return jnp.asarray(arr)
+            return np.zeros(leaf.shape, np.float32)
+        return (rng.random(leaf.shape, dtype=np.float32) - 0.5) * width
 
     return jax.tree_util.tree_map(fill, shapes)
+
+
+def _fix_norm_scales(tree, path=()):
+    # norm scales must be 1 (zeros would zero all activations)
+    if isinstance(tree, dict):
+        return {k: _fix_norm_scales(v, path + (k,)) for k, v in tree.items()}
+    if path and path[-1] == "scale":
+        return np.ones(tree.shape, np.float32)
+    return tree
 
 
 def init_unet_params_fast(seed: int, config: UNetConfig, sample_hw: int = 64):
@@ -78,46 +92,74 @@ def init_unet_params_fast(seed: int, config: UNetConfig, sample_hw: int = 64):
     ctx = jnp.zeros((1, 8, config.context_dim))
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), latents, t, ctx)["params"]
     params = _fast_random_like(shapes, seed)
-    # norm scales must be 1 (zeros would zero all activations)
-    def fix_norm_scales(tree, path=()):
-        if isinstance(tree, dict):
-            return {k: fix_norm_scales(v, path + (k,)) for k, v in tree.items()}
-        if path[-1] == "scale":
-            return jnp.ones_like(tree)
-        return tree
+    return _fix_norm_scales(params)
 
-    return fix_norm_scales(params)
+
+def init_unet_params_zeros(config: UNetConfig, dtype=jnp.bfloat16, sample_hw: int = 16):
+    """Zero weights (norm scales = 1) in the target dtype, host-side.
+
+    For compile checks and shape plumbing: creating 860M random values costs
+    minutes on some hosts; zeros are allocated lazily by the OS.
+    """
+    import ml_dtypes
+
+    np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
+    model = UNet(config)
+    latents = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 8, config.context_dim))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), latents, t, ctx)["params"]
+
+    def fill(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: fill(v, path + (k,)) for k, v in tree.items()}
+        if path[-1] == "scale":
+            return np.ones(tree.shape, np.float32)
+        if any("norm" in p for p in path):
+            return np.zeros(tree.shape, np.float32)
+        return np.zeros(tree.shape, np_dtype)
+
+    return fill(shapes)
 
 
 def init_vae_params_fast(seed: int, config: VAEConfig, sample_hw: int = 64):
     model = VAE(config)
     images = jnp.zeros((1, sample_hw, sample_hw, config.in_channels))
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), images)["params"]
-    params = _fast_random_like(shapes, seed)
-
-    def fix_norm_scales(tree, path=()):
-        if isinstance(tree, dict):
-            return {k: fix_norm_scales(v, path + (k,)) for k, v in tree.items()}
-        if path[-1] == "scale":
-            return jnp.ones_like(tree)
-        return tree
-
-    return fix_norm_scales(params)
+    return _fix_norm_scales(_fast_random_like(shapes, seed))
 
 
 def cast_params(params, dtype=jnp.bfloat16):
     """Cast matmul/conv weights to `dtype`; keep normalization params fp32.
 
     Norm parameters are identified by a path component containing 'norm'
-    (norm1/norm2/norm3/conv_norm_out/group norms named 'norm').
+    (norm1/norm2/norm3/conv_norm_out/group norms named 'norm'). Host numpy
+    leaves are cast on host (ml_dtypes handles bfloat16) so no device ops
+    are dispatched; device leaves cast on device.
     """
+    import ml_dtypes
+
+    def np_bf16(a: np.ndarray) -> np.ndarray:
+        # round-to-zero f32 -> bf16 via bit shift; ~10x faster than astype
+        return (
+            (np.ascontiguousarray(a, np.float32).view(np.uint32) >> 16)
+            .astype(np.uint16)
+            .view(ml_dtypes.bfloat16)
+        )
+
+    def cast(leaf, target):
+        if isinstance(leaf, np.ndarray):
+            if target is dtype and dtype == jnp.bfloat16:
+                return np_bf16(leaf)
+            return leaf.astype(np.float32)
+        return leaf.astype(target)
 
     def walk(tree, path):
         if isinstance(tree, dict):
             return {k: walk(v, path + (k,)) for k, v in tree.items()}
         if any("norm" in p for p in path):
-            return tree.astype(jnp.float32)
-        return tree.astype(dtype)
+            return cast(tree, jnp.float32)
+        return cast(tree, dtype)
 
     return walk(params, ())
 
@@ -138,7 +180,7 @@ def _set(tree: dict, path: str, value: np.ndarray):
     node = tree
     for p in parts[:-1]:
         node = node.setdefault(p, {})
-    node[parts[-1]] = jnp.asarray(value)
+    node[parts[-1]] = np.asarray(value)  # host; device_put happens once at the end
 
 
 def _map_resnet(src: str) -> list[tuple[str, str, str]]:
