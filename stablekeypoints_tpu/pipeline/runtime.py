@@ -269,47 +269,50 @@ class Runtime:
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 
-    @functools.cached_property
-    def augmented_maps_fn(self):
-        """Test-time-ensembled maps for one image.
+    def _ensembled_maps(self, unet_params, vae_params, context, images, indices, key):
+        """Shared test-time-ensemble core (run_image_with_context_augmented,
+        eval.py:197-355): for each of M images, `augmentation_iterations`
+        random affine views are batched through ONE sharded forward, the
+        maps inverse-warped and averaged with NaN->0 where no view
+        contributed (the reference runs views serially, eval.py:239).
 
-        (context, image [H, W, 3], indices [k], key) -> [k, H, W] fp32.
-        Semantics of run_image_with_context_augmented (eval.py:197-355):
-        `augmentation_iterations` random affine views, maps at image
-        resolution, inverse-warped and averaged with NaN->0 where no view
-        contributed. The reference runs the views serially per GPU
-        (eval.py:239); here they are one batched, sharded forward.
+        images: [M, H, W, 3] -> [M, k, S, S] fp32.
         """
         cfg = self.cfg
-        repl = pmesh.replicated(self.mesh)
         data = pmesh.batch_sharding(self.mesh)
+        m, size = images.shape[0], images.shape[1]
+        n = cfg.augmentation_iterations
+        k_theta, k_noise = jax.random.split(key)
+        aff = AffineParams(
+            cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+        )
+        thetas = sample_thetas(k_theta, m * n, aff)
+        imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas)
+        imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
+        maps = self._attn_maps(
+            unet_params, vae_params, imgs_t, context, k_noise, size, indices, True
+        )  # [M*n, k, S, S]
+
+        def inv(x):  # inverse-warp with per-view thetas (maps ride as channels)
+            from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
+
+            return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(0, 3, 1, 2)
+
+        kk = maps.shape[1]
+        num = inv(jnp.ones_like(maps)).reshape(m, n, kk, size, size).sum(axis=1)
+        tot = inv(maps).reshape(m, n, kk, size, size).sum(axis=1)
+        return jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)
+
+    @functools.cached_property
+    def augmented_maps_fn(self):
+        """Test-time-ensembled maps for one image:
+        (context, image [H, W, 3], indices [k], key) -> [k, H, W] fp32."""
+        repl = pmesh.replicated(self.mesh)
 
         def fn(unet_params, vae_params, context, image, indices, key):
-            n = cfg.augmentation_iterations
-            k_theta, k_noise = jax.random.split(key)
-            aff = AffineParams(
-                cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
-            )
-            thetas = sample_thetas(k_theta, n, aff)
-            imgs = jnp.broadcast_to(image[None], (n, *image.shape))
-            imgs_t = apply_affine(imgs, thetas)
-            imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
-            maps = self._attn_maps(
-                unet_params, vae_params, imgs_t, context, k_noise,
-                image.shape[0], indices, True,
-            )  # [n, k, S, S]
-
-            def inv(x):  # inverse-warp [n, k, S, S] with per-view thetas
-                from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
-
-                return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(
-                    0, 3, 1, 2
-                )
-
-            num = inv(jnp.ones_like(maps)).sum(axis=0)
-            total = inv(maps).sum(axis=0)
-            avg = total / num
-            return jnp.nan_to_num(avg, nan=0.0, posinf=0.0, neginf=0.0)
+            return self._ensembled_maps(
+                unet_params, vae_params, context, image[None], indices, key
+            )[0]
 
         jitted = jax.jit(
             fn, in_shardings=(None, None, repl, repl, repl, repl), out_shardings=repl
@@ -321,43 +324,19 @@ class Runtime:
         """Ensembled keypoints for a batch of images, extracted on device.
 
         (context, images [M, H, W, 3], indices [k], key) -> [M, k, 2]
-        normalized (y, x). Composition of run_image_with_context_augmented +
-        find_max_pixel/pixel_from_weighted_avg (eval.py:197-355, 447-450,
-        keypoint_regressor.py:174-192): per image, `augmentation_iterations`
-        affine views are batched through one forward, inverse-warped,
-        averaged, and reduced to argmax/soft-argmax keypoints — only the
-        [M, k, 2] result leaves the device (the reference ships [k, 512,
-        512] maps to the host per image).
+        normalized (y, x): the ensemble reduced by argmax/soft-argmax
+        (eval.py:447-450, keypoint_regressor.py:174-192) — only [M, k, 2]
+        leaves the device (the reference ships [k, 512, 512] maps to the
+        host per image).
         """
         cfg = self.cfg
         repl = pmesh.replicated(self.mesh)
-        data = pmesh.batch_sharding(self.mesh)
 
         def fn(unet_params, vae_params, context, images, indices, key):
-            m = images.shape[0]
-            n = cfg.augmentation_iterations
-            size = images.shape[1]
-            k_theta, k_noise = jax.random.split(key)
-            aff = AffineParams(
-                cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+            avg = self._ensembled_maps(
+                unet_params, vae_params, context, images, indices, key
             )
-            thetas = sample_thetas(k_theta, m * n, aff)
-            imgs = jnp.repeat(images, n, axis=0)  # [M*n, H, W, 3]
-            imgs_t = apply_affine(imgs, thetas)
-            imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
-            maps = self._attn_maps(
-                unet_params, vae_params, imgs_t, context, k_noise, size, indices, True
-            )  # [M*n, k, S, S]
-
-            def inv(x):
-                from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
-
-                return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(0, 3, 1, 2)
-
-            kk = maps.shape[1]
-            num = inv(jnp.ones_like(maps)).reshape(m, n, kk, size, size).sum(axis=1)
-            tot = inv(maps).reshape(m, n, kk, size, size).sum(axis=1)
-            avg = jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)
+            m, kk, size = avg.shape[0], avg.shape[1], avg.shape[2]
 
             from stablekeypoints_tpu.ops.keypoints import (
                 find_max_pixel,

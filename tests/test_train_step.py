@@ -99,3 +99,19 @@ def test_loss_decreases_on_synthetic(tiny_runtime):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert min(losses[4:]) < losses[0]
+
+
+def test_multi_subject_train_step():
+    """num_subjects > 1: multi-peak Gaussian targets flow through the step."""
+    import jax as _jax
+    from stablekeypoints_tpu.pipeline.runtime import Runtime as _RT
+    from stablekeypoints_tpu.models.unet import tiny_unet_config as _tc
+    from stablekeypoints_tpu.models.vae import tiny_vae_config as _tv
+
+    cfg = tiny_config(num_subjects=2, batch_size=8)
+    rt = _RT.create(cfg, _tc(), _tv(), mesh=pmesh.make_mesh())
+    imgs = pmesh.shard_batch(rt.mesh, np.ones((8, 64, 64, 3), np.float32) * 0.3)
+    ctx = rt.init_context()
+    opt_state = rt.optimizer.init(ctx)
+    ctx, opt_state, _, m = rt.train_step(ctx, opt_state, imgs, _jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
