@@ -94,10 +94,12 @@ def optimize_embedding(
                 {
                     "stage": 1,
                     "step": step,
+                    # field names match the reference's wandb schema
+                    # (optimize.py:427-435)
                     "loss": float(metrics["loss"]),
-                    "sharpening_loss": float(metrics["sharpening"]) * cfg.sharpening_loss_weight,
-                    "equivariance_attn_loss": float(metrics["equivariance"]) * cfg.equivariance_attn_loss_weight,
-                    "iteration_time": (now - it_start) / max(step % cfg.log_every, 1) if step else now - it_start,
+                    "running_sharpening_loss": float(metrics["sharpening"]) * cfg.sharpening_loss_weight,
+                    "running_equivariance_attn_loss": float(metrics["equivariance"]) * cfg.equivariance_attn_loss_weight,
+                    "iteration time": (now - it_start) / max(step % cfg.log_every, 1) if step else now - it_start,
                 }
             )
             it_start = now
