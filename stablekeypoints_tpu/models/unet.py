@@ -42,8 +42,10 @@ ResnetBlockR = nn.remat(ResnetBlock)
 Transformer2DR = nn.remat(Transformer2D)
 
 
-def _blocks(remat: bool):
-    return (ResnetBlockR, Transformer2DR) if remat else (ResnetBlock, Transformer2D)
+def _blocks(cfg):
+    res = ResnetBlockR if (cfg.remat and cfg.remat_resnets) else ResnetBlock
+    tfm = Transformer2DR if cfg.remat else Transformer2D
+    return res, tfm
 
 __all__ = [
     "UNetConfig", "UNet", "SD15_CONFIG", "SDXL_CONFIG",
@@ -62,7 +64,12 @@ class UNetConfig:
     # transformer depth per block (SD1.5: all 1; SDXL: (0, 2, 10))
     transformer_depth: tuple[int, ...] = (1, 1, 1, 1)
     num_heads: int = 8  # SD1.x: fixed 8 heads, head dim = channels / 8
-    remat: bool = True  # rematerialize blocks in backward (required at 512^2)
+    # rematerialization: transformers must remat (their self-attention
+    # softmax tensors at 64^2 are GBs); resnet conv activations are small
+    # enough to store, and storing them skips recomputing the conv trunk in
+    # the backward pass
+    remat: bool = True  # transformers
+    remat_resnets: bool = False
     head_dim_fixed: Optional[int] = None  # SDXL: fixed 64-dim heads instead
     context_dim: int = 768
     time_embed_dim_mult: int = 4
@@ -144,7 +151,7 @@ class DownBlock(nn.Module):
         ch = cfg.block_channels[self.block_idx]
         has_attn = cfg.attn_blocks[self.block_idx]
         heads, dim_head = cfg.heads_for(ch)
-        Res, Tfm = _blocks(cfg.remat)
+        Res, Tfm = _blocks(cfg)
         skips = []
         for i in range(cfg.layers_per_block):
             x = Res(ch, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
@@ -172,7 +179,7 @@ class MidBlock(nn.Module):
         cfg = self.config
         ch = cfg.block_channels[-1]
         heads, dim_head = cfg.heads_for(ch)
-        Res, Tfm = _blocks(cfg.remat)
+        Res, Tfm = _blocks(cfg)
         x = Res(ch, dtype=self.dtype, name="resnets_0")(x, temb)
         x, _ = Tfm(
             heads,
@@ -202,7 +209,7 @@ class UpBlock(nn.Module):
         has_attn = rev_attn[self.block_idx]
         heads, dim_head = cfg.heads_for(ch)
         capture_res, truncate, captures = capture_state
-        Res, Tfm = _blocks(cfg.remat)
+        Res, Tfm = _blocks(cfg)
 
         n_layers = cfg.layers_per_block + 1
         for i in range(n_layers):
