@@ -28,11 +28,34 @@ class KeypointDataset(Protocol):
 
 
 def load_image_rgb(path: str, image_size: int) -> np.ndarray:
-    """Decode + bilinear resize to [image_size, image_size, 3] float32 [0,1]."""
+    """Decode + bilinear resize to [image_size, image_size, 3] float32 [0,1].
+
+    PIL path (antialiased bilinear, matching the reference's torchvision/PIL
+    resizes). For throughput-critical loading use `load_image_rgb_fast`.
+    """
     img = Image.open(path).convert("RGB")
     if img.size != (image_size, image_size):
         img = img.resize((image_size, image_size), Image.BILINEAR)
     return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def load_image_rgb_fast(path: str, image_size: int) -> np.ndarray:
+    """GIL-free native decode+resize for JPEGs (native/image_io.cpp).
+
+    Uses torch-style bilinear (align_corners=False, no antialias) — slightly
+    different from PIL when downscaling; intended for high-throughput
+    training where the prefetch pool saturates the GIL. Falls back to the
+    PIL path for non-JPEGs or when the native library is unavailable.
+    """
+    if path.lower().endswith((".jpg", ".jpeg")):
+        from stablekeypoints_tpu.utils import native
+
+        with open(path, "rb") as f:
+            data = f.read()
+        out = native.decode_resize_jpeg(data, image_size, image_size)
+        if out is not None:
+            return out
+    return load_image_rgb(path, image_size)
 
 
 def _stack(samples: list[dict]) -> dict:
