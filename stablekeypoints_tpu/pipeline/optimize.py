@@ -16,10 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def jnp_like(x):
-    return jnp.asarray(np.asarray(x))
-
 from stablekeypoints_tpu.config import Config
 from stablekeypoints_tpu.data.base import Loader
 from stablekeypoints_tpu.parallel import mesh as pmesh
@@ -54,7 +50,7 @@ def optimize_embedding(
         if restored is not None:
             start_step = int(restored["step"]) + 1
             repl = pmesh.replicated(runtime.mesh)
-            context = jax.device_put(jnp_like(restored["context"]), repl)
+            context = jax.device_put(jnp.asarray(np.asarray(restored["context"])), repl)
             leaves = jax.tree_util.tree_leaves(restored["opt_state"])
             opt_state = jax.device_put(
                 jax.tree_util.tree_unflatten(
