@@ -162,6 +162,7 @@ class CrossAttention(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     capture_res: Optional[int] = None
     pallas_capture: bool = False  # fused Pallas kernel for the capture path
+    pallas_interpret: bool = False  # interpret mode (non-TPU meshes)
 
     @nn.compact
     def __call__(
@@ -203,8 +204,7 @@ class CrossAttention(nn.Module):
             if self.pallas_capture:
                 from stablekeypoints_tpu.kernels.attn_capture import capture_attention
 
-                interp = jax.default_backend() != "tpu"
-                capture = capture_attention(q_up, k, scale, interp)
+                capture = capture_attention(q_up, k, scale, self.pallas_interpret)
             else:
                 sim_up = jnp.einsum(
                     "bnhd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
@@ -257,6 +257,7 @@ class BasicTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     capture_res: Optional[int] = None
     pallas_capture: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -266,7 +267,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + h
         h, capture = CrossAttention(
             self.heads, self.dim_head, self.dtype, self.capture_res,
-            self.pallas_capture, name="attn2"
+            self.pallas_capture, self.pallas_interpret, name="attn2"
         )(LayerNorm32(name="norm2")(x), context)
         x = x + h
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
@@ -284,6 +285,7 @@ class Transformer2D(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     capture_res: Optional[int] = None
     pallas_capture: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -300,7 +302,7 @@ class Transformer2D(nn.Module):
             res = self.capture_res if i == 0 else None
             x, cap = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, self.dtype, res,
-                self.pallas_capture, name=f"blocks_{i}"
+                self.pallas_capture, self.pallas_interpret, name=f"blocks_{i}"
             )(x, context)
             if cap is not None:
                 captures.append(cap)

@@ -85,6 +85,7 @@ class UNetConfig:
     # fused Pallas kernel for the capture softmax/head-mean (TPU);
     # interpret-mode fallback keeps CPU tests working
     pallas_capture: bool = False
+    pallas_interpret: bool = False
 
     def heads_for(self, channels: int) -> tuple[int, int]:
         if self.head_dim_fixed is not None:
@@ -230,6 +231,7 @@ class UpBlock(nn.Module):
                     dtype=self.dtype,
                     capture_res=capture_res if do_capture else None,
                     pallas_capture=cfg.pallas_capture,
+                    pallas_interpret=cfg.pallas_interpret,
                     name=f"attentions_{i}",
                 )(x, context)
                 if cap is not None:

@@ -94,10 +94,17 @@ class Runtime:
             unet_config = (
                 SDXL_CONFIG if "xl" in cfg.model_type.lower() else SD15_CONFIG
             )
+        mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
+        mesh_platform = mesh.devices.flat[0].platform
         if cfg.pallas_capture != "off":
-            use = cfg.pallas_capture == "on" or jax.default_backend() == "tpu"
-            if use != unet_config.pallas_capture:
-                unet_config = dataclasses.replace(unet_config, pallas_capture=use)
+            # the kernel runs wherever the MESH lives (which may differ from
+            # the default backend, e.g. a virtual CPU mesh on a TPU host)
+            use = cfg.pallas_capture == "on" or mesh_platform == "tpu"
+            interp = mesh_platform != "tpu"
+            if (use, interp) != (unet_config.pallas_capture, unet_config.pallas_interpret):
+                unet_config = dataclasses.replace(
+                    unet_config, pallas_capture=use, pallas_interpret=interp
+                )
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         unet = UNet(unet_config, dtype=dtype)
         vae = VAE(vae_config, dtype=dtype)
@@ -113,7 +120,6 @@ class Runtime:
                 W.init_vae_params_fast(cfg.seed + 1, vae_config, min(cfg.image_size, 64)),
                 dtype,
             )
-        mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
         if mesh.shape["model"] > 1:
             # Megatron-style TP over the transformer matmuls; GSPMD
             # propagates activation shardings and inserts the psums
