@@ -199,7 +199,7 @@ def test_pallas_capture_matches_einsum_path():
     t = jnp.zeros((1,), jnp.int32)
     ctx = jax.random.normal(jax.random.PRNGKey(8), (1, 12, 32))
     cfg0 = tiny_unet_config()
-    cfg1 = dataclasses.replace(cfg0, pallas_capture=True)
+    cfg1 = dataclasses.replace(cfg0, pallas_capture=True, pallas_interpret=True)
     params = weights.init_unet_params(jax.random.PRNGKey(0), cfg0, sample_hw=32)
     caps = []
     for cfg in (cfg0, cfg1):
