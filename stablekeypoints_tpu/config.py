@@ -72,6 +72,11 @@ class Config:
     truncate_unet: bool = True  # stop the forward after the last captured map
     pallas_capture: str = "auto"  # auto|on|off: fused capture-attention kernel
     eval_batch_images: int = 1  # test images folded into one sharded batch
+    # resolution at which the test-time ensemble is warped/averaged:
+    # -1 = image resolution (reference-exact, eval.py:253-266); lower values
+    # (e.g. 128) warp at capture resolution and upsample the average,
+    # trading exact argmax parity for ~3x faster evaluation
+    eval_ensemble_res: int = -1
     seed: int = 0
     checkpoint_every: int = 0  # 0 = only stage-end artifacts
     resume: bool = False  # resume from checkpoints / stage artifacts

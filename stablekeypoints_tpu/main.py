@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=d.log_every)
     p.add_argument("--profile_steps", type=int, default=d.profile_steps,
                    help="capture a jax.profiler trace of N stage-1 steps")
+    p.add_argument("--eval_batch_images", type=int, default=d.eval_batch_images)
+    p.add_argument("--eval_ensemble_res", type=int, default=d.eval_ensemble_res,
+                   help="-1 = warp the test-time ensemble at image resolution (reference-exact); lower = faster eval")
     return p
 
 

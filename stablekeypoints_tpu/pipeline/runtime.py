@@ -288,6 +288,10 @@ class Runtime:
         data = pmesh.batch_sharding(self.mesh)
         m, size = images.shape[0], images.shape[1]
         n = cfg.augmentation_iterations
+        # the ensemble can be warped/averaged at a lower resolution and the
+        # average upsampled afterwards (affine warps are resolution
+        # independent in normalized coordinates); -1 = reference-exact
+        ens = size if cfg.eval_ensemble_res == -1 else min(cfg.eval_ensemble_res, size)
         k_theta, k_noise = jax.random.split(key)
         aff = AffineParams(
             cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
@@ -296,8 +300,8 @@ class Runtime:
         imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas)
         imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
         maps = self._attn_maps(
-            unet_params, vae_params, imgs_t, context, k_noise, size, indices, True
-        )  # [M*n, k, S, S]
+            unet_params, vae_params, imgs_t, context, k_noise, ens, indices, True
+        )  # [M*n, k, E, E]
 
         def inv(x):  # inverse-warp with per-view thetas (maps ride as channels)
             from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
@@ -305,9 +309,14 @@ class Runtime:
             return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(0, 3, 1, 2)
 
         kk = maps.shape[1]
-        num = inv(jnp.ones_like(maps)).reshape(m, n, kk, size, size).sum(axis=1)
-        tot = inv(maps).reshape(m, n, kk, size, size).sum(axis=1)
-        return jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)
+        num = inv(jnp.ones_like(maps)).reshape(m, n, kk, ens, ens).sum(axis=1)
+        tot = inv(maps).reshape(m, n, kk, ens, ens).sum(axis=1)
+        avg = jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)
+        if ens != size:
+            avg = resize_hw(avg.reshape(m * kk, ens, ens), size, size, "bilinear").reshape(
+                m, kk, size, size
+            )
+        return avg
 
     @functools.cached_property
     def augmented_maps_fn(self):

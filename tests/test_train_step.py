@@ -115,3 +115,27 @@ def test_multi_subject_train_step():
     opt_state = rt.optimizer.init(ctx)
     ctx, opt_state, _, m = rt.train_step(ctx, opt_state, imgs, _jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_low_res_ensemble_close_to_exact():
+    """eval_ensemble_res < image size: keypoints close to the exact mode."""
+    import dataclasses
+    import jax as _jax
+    from stablekeypoints_tpu.pipeline.runtime import Runtime as _RT
+    from stablekeypoints_tpu.models.unet import tiny_unet_config as _tc
+    from stablekeypoints_tpu.models.vae import tiny_vae_config as _tv
+    from stablekeypoints_tpu.data.synthetic import SyntheticBlobs as _SB
+
+    cfg = tiny_config(augmentation_iterations=8)
+    img = _SB(length=2, image_size=64, num_kpts=4)[0]["img"][None]
+    indices = np.arange(4, dtype=np.int32)
+    pts = {}
+    for res in (-1, 16):
+        c = dataclasses.replace(cfg, eval_ensemble_res=res)
+        rt = _RT.create(c, _tc(), _tv(), mesh=pmesh.make_mesh())
+        ctx = rt.init_context()
+        pts[res] = np.asarray(
+            rt.augmented_keypoints_fn(ctx, img, indices, _jax.random.PRNGKey(0))
+        )
+    # same random weights/keys: locations should agree within a few pixels
+    assert np.abs(pts[-1] - pts[16]).max() < 0.12
