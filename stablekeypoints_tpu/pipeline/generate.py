@@ -37,8 +37,10 @@ def generate_images(
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 8)
     hw = latent_hw if latent_hw is not None else cfg.image_size // 8
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def sample(context, key, capture: bool):
+    # params are explicit args: closed-over trees become HLO constants and
+    # ship the full weights to the compiler
+    @functools.partial(jax.jit, static_argnums=(4,))
+    def sample(unet_params, vae_params, context, key, capture: bool):
         latents = jax.random.normal(
             key, (num_images, hw, hw, runtime.unet.config.in_channels), jnp.float32
         )
@@ -48,7 +50,7 @@ def generate_images(
         def body(i, lat):
             t = jnp.asarray(sched.timesteps)[i]
             eps, _ = runtime.unet.apply(
-                {"params": runtime.unet_params},
+                {"params": unet_params},
                 lat,
                 jnp.full((num_images,), t, jnp.int32),
                 ctx,
@@ -67,7 +69,7 @@ def generate_images(
         maps = None
         if capture:
             _, captures = runtime.unet.apply(
-                {"params": runtime.unet_params},
+                {"params": unet_params},
                 latents,
                 jnp.full((num_images,), int(sched.timesteps[-1]), jnp.int32),
                 ctx,
@@ -76,12 +78,14 @@ def generate_images(
             )
             maps = collect_maps(captures, cfg.layers, -1, None)
         images = runtime.vae.apply(
-            {"params": runtime.vae_params}, latents, method=VAE.decode
+            {"params": vae_params}, latents, method=VAE.decode
         )
         images = jnp.clip(images / 2.0 + 0.5, 0.0, 1.0)
         return images, maps
 
-    images, maps = sample(context, key, capture_final_maps)
+    images, maps = sample(
+        runtime.unet_params, runtime.vae_params, context, key, capture_final_maps
+    )
     return (np.asarray(images), None if maps is None else np.asarray(maps))
 
 
