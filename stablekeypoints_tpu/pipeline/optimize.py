@@ -23,7 +23,15 @@ from stablekeypoints_tpu.pipeline.runtime import Runtime
 from stablekeypoints_tpu.utils.artifacts import save_artifact
 from stablekeypoints_tpu.utils.logging import MetricsLogger
 
-__all__ = ["optimize_embedding"]
+__all__ = ["optimize_embedding", "iteration_time"]
+
+
+def iteration_time(now: float, window_start: float, step: int, last_logged_step: int) -> float:
+    """Per-optimizer-step seconds over the window since the last log event
+    (reference optimize.py:427-443 prints the time of ONE optimizer step;
+    we log every `log_every` steps, so divide the window by the number of
+    steps it covered)."""
+    return (now - window_start) / max(step - last_logged_step, 1)
 
 
 def optimize_embedding(
@@ -71,6 +79,7 @@ def optimize_embedding(
     profiling = False
     start = time.time()
     it_start = start
+    last_logged_step = start_step - 1
     for step in range(start_step, cfg.num_steps):
         if cfg.profile_steps and step == start_step + 1:  # skip compile step
             jax.profiler.start_trace(f"{cfg.save_folder}/profile")
@@ -95,10 +104,11 @@ def optimize_embedding(
                     "loss": float(metrics["loss"]),
                     "running_sharpening_loss": float(metrics["sharpening"]) * cfg.sharpening_loss_weight,
                     "running_equivariance_attn_loss": float(metrics["equivariance"]) * cfg.equivariance_attn_loss_weight,
-                    "iteration time": (now - it_start) / max(step % cfg.log_every, 1) if step else now - it_start,
+                    "iteration time": iteration_time(now, it_start, step, last_logged_step),
                 }
             )
             it_start = now
+            last_logged_step = step
         if cfg.checkpoint_every and step and step % cfg.checkpoint_every == 0:
             save_artifact(cfg.save_folder, "embedding", np.asarray(context))
             if checkpointer is not None:

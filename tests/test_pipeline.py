@@ -120,3 +120,16 @@ def test_regressor_visible_ignores_invisible_rows():
     vis[:50, 0] = 0
     w = return_regressor_visible(x, y_bad, vis)
     np.testing.assert_allclose(w, w_true, atol=1e-8)
+
+
+def test_iteration_time_is_per_step():
+    """Logged 'iteration time' must be per-optimizer-step seconds (reference
+    optimize.py:427-443), not the whole inter-log window."""
+    from stablekeypoints_tpu.pipeline.optimize import iteration_time
+
+    # 10 steps elapsed since the last log event, 5 seconds wall
+    assert iteration_time(now=105.0, window_start=100.0, step=19, last_logged_step=9) == 0.5
+    # first log event after start (window of exactly one step)
+    assert iteration_time(now=101.0, window_start=100.0, step=0, last_logged_step=-1) == 1.0
+    # resume case: first log at start_step
+    assert iteration_time(now=102.0, window_start=100.0, step=50, last_logged_step=49) == 2.0
