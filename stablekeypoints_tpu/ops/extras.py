@@ -37,18 +37,20 @@ def gaussian_kernel_2d(size: int, sigma: float) -> jnp.ndarray:
 def gaussian_loss(
     attn_map: jnp.ndarray, kernel_size: int = 5, sigma: float = 1.0, temperature: float = 1e-4
 ) -> jnp.ndarray:
-    """Cross-entropy between softmax(map/T) and its Gaussian-blurred self
-    (semantics of optimize.py:106-135): encourages blur-consistent peaks."""
+    """MSE between the map and its own detached softmax(map/T) peaks.
+
+    Matches the reference's EXECUTED semantics (optimize.py:106-135): it
+    also builds a Gaussian-blurred target there, but that target is never
+    used — the returned loss is `F.mse_loss(attn_map, attn_probs)` with the
+    probs detached. A/B-tested against the reference code in
+    tests/test_reference_ab.py. kernel_size/sigma kept for signature parity
+    (they only affect the reference's dead target computation).
+    """
+    del kernel_size, sigma  # only used by the reference's dead code path
     t, h, w = attn_map.shape
     p = jax.nn.softmax(attn_map.reshape(t, -1) / temperature, axis=-1).reshape(t, h, w)
-    kernel = gaussian_kernel_2d(kernel_size, sigma)
-    pad = kernel_size // 2
-    blurred = jax.lax.conv_general_dilated(
-        p[:, None], kernel[None, None], (1, 1),
-        [(pad, pad), (pad, pad)], dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
-    blurred = blurred / jnp.sum(blurred, axis=(1, 2), keepdims=True)
-    return -jnp.mean(jnp.sum(p * jnp.log(blurred + 1e-10), axis=(1, 2)))
+    p = jax.lax.stop_gradient(p)
+    return jnp.mean((attn_map - p) ** 2)
 
 
 def variance_loss(heatmaps: jnp.ndarray) -> jnp.ndarray:
