@@ -397,6 +397,24 @@ def vae_conversion_rules(config: VAEConfig) -> list[tuple[str, str, str]]:
 
 
 def convert_vae_state_dict(sd: dict[str, np.ndarray], config: VAEConfig) -> dict:
+    # diffusers<=0.8-era AutoencoderKL names the mid-block attention
+    # query/key/value/proj_attn; newer exports use to_q/to_k/to_v/to_out.0.
+    # The reference pins diffusers==0.8.0 (ptp_utils.py:573) so checkpoints
+    # in the wild come in both layouts — normalize to the modern names.
+    renames = (
+        (".query.", ".to_q."),
+        (".key.", ".to_k."),
+        (".value.", ".to_v."),
+        (".proj_attn.", ".to_out.0."),
+    )
+
+    def modern(name: str) -> str:
+        if ".attentions." in name:
+            for old, new in renames:
+                name = name.replace(old, new)
+        return name
+
+    sd = {modern(k): v for k, v in sd.items()}
     out: dict[str, Any] = {}
     for src, dst, kind in vae_conversion_rules(config):
         if src in sd:
