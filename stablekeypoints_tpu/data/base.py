@@ -27,6 +27,13 @@ class KeypointDataset(Protocol):
     def __getitem__(self, idx: int) -> dict: ...
 
 
+def is_deterministic(dataset) -> bool:
+    """True when __getitem__(i) always returns the same sample (no train-time
+    augmentation randomness) — the precondition for index-keyed caching.
+    Adapters with per-access randomness set `deterministic = False`."""
+    return bool(getattr(dataset, "deterministic", True))
+
+
 def load_image_rgb(path: str, image_size: int) -> np.ndarray:
     """Decode + bilinear resize to [image_size, image_size, 3] float32 [0,1].
 
@@ -113,15 +120,42 @@ class Loader:
             except StopIteration:
                 return False
             futs = [self._pool.submit(self.dataset.__getitem__, int(i)) for i in idxs]
-            pending.append(futs)
+            pending.append((idxs, futs))
             return True
+
+        def result_or_substitute(i: int, fut: cf.Future) -> tuple[int, dict]:
+            """Corrupt/truncated files must not kill a long training run:
+            on sample failure, warn once per index and substitute a random
+            other sample (bounded retries), keeping batch shapes fixed."""
+            try:
+                return i, fut.result()
+            except Exception as e:  # noqa: BLE001 — adapter/decoder errors
+                import warnings
+
+                n = len(self.dataset)
+                for _ in range(8):
+                    j = int(self._rng.integers(n))
+                    if j == i:
+                        continue
+                    try:
+                        sample = self.dataset[j]
+                        warnings.warn(
+                            f"sample {i} failed ({type(e).__name__}: {e}); "
+                            f"substituted sample {j}"
+                        )
+                        return j, sample
+                    except Exception:
+                        continue
+                raise
 
         for _ in range(self.prefetch + 1):
             if not submit():
                 break
         while pending:
-            futs = pending.pop(0)
-            batch = _stack([f.result() for f in futs])
+            idxs, futs = pending.pop(0)
+            resolved = [result_or_substitute(int(i), f) for i, f in zip(idxs, futs)]
+            batch = _stack([s for _, s in resolved])
+            batch["_idx"] = np.asarray([i for i, _ in resolved], np.int64)
             submit()
             yield batch
 

@@ -48,16 +48,34 @@ class CelebA:
             self.file_names = f.readlines()
 
         if not align:
+            # the bbox filter needs each image's size (header only; PIL
+            # never decodes pixels for .size). The reference opens all
+            # ~160k training images serially in __init__ (celeba.py:51-72);
+            # here the header reads run on a thread pool, and with max_len
+            # set the scan stops as soon as enough images are kept.
+            import concurrent.futures as cf
+
             with open(os.path.join(self.dataset_loc, "Anno", "list_bbox_celeba.txt")) as f:
                 bboxes = f.readlines()[2:]
-            kept = []
-            for name in self.file_names:
+
+            def keeps(name: str) -> bool:
                 idx = self._local_index(name)
                 bbox = [int(x) for x in bboxes[idx].split()[1:]]
-                with Image.open(self._img_path(idx)) as im:
-                    width, height = im.size
-                if bbox[2] * bbox[3] >= height * width * iou_threshold:
-                    kept.append(name)
+                try:
+                    with Image.open(self._img_path(idx)) as im:
+                        width, height = im.size
+                except OSError:
+                    return False  # unreadable image: drop it up front
+                return bbox[2] * bbox[3] >= height * width * iou_threshold
+
+            kept = []
+            chunk = 4096
+            with cf.ThreadPoolExecutor(max_workers=16) as pool:
+                for start in range(0, len(self.file_names), chunk):
+                    names = self.file_names[start : start + chunk]
+                    kept.extend(n for n, k in zip(names, pool.map(keeps, names)) if k)
+                    if max_len != -1 and len(kept) >= max_len:
+                        break
             self.file_names = kept
 
     def _local_index(self, file_name: str) -> int:

@@ -79,6 +79,9 @@ class CUBParts:
 
         self.img_size = image_size
         self.split = split
+        # train-time bbox jitter + random mirror: samples are not a pure
+        # function of the index, so index-keyed latent caching must not apply
+        self.deterministic = split != "train"
         self._rng = np.random.default_rng(seed)
         data_dir = osp.join(osp.expanduser(dataset_root), "CUB_200_2011")
         cache = osp.join(data_dir, "cachedir", "cub")

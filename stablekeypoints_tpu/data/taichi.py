@@ -24,6 +24,8 @@ class Taichi:
         self.data_root = os.path.expanduser(data_root)
         self.image_size = image_size
         self.split = split
+        # train split applies RandomHorizontalFlip (reference taichi.py:43)
+        self.deterministic = split != "train"
         self._rng = np.random.default_rng(seed)
         if split == "train":
             root = os.path.join(self.data_root, "train")

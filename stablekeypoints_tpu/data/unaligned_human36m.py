@@ -75,6 +75,8 @@ class UnalignedHuman36M:
         self.data_root = os.path.expanduser(data_root)
         self.image_size = image_size
         self.with_kpts = split in ("train_reg", "test")
+        # kpt-driven crop has random translation jitter on the train split
+        self.deterministic = split != "train"
         self._rng = np.random.default_rng(seed)
         subjects = [11] if split == "test" else [1, 5, 6, 7, 8, 9]
 

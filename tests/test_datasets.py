@@ -171,3 +171,36 @@ def test_loader_infinite_cycles():
     for _ in range(5):
         b = next(it)
         assert b["img"].shape == (4, 8, 8, 3)
+
+
+def test_loader_substitutes_corrupt_samples(tmp_path):
+    """A truncated image file must not kill training: the loader warns and
+    substitutes another sample, keeping batch shapes fixed."""
+    import warnings
+
+    import numpy as np
+    from PIL import Image
+
+    from stablekeypoints_tpu.data.base import Loader
+    from stablekeypoints_tpu.data.custom import CustomDataset
+
+    for i in range(6):
+        Image.fromarray(
+            (np.random.default_rng(i).uniform(0, 255, (32, 32, 3))).astype(np.uint8)
+        ).save(tmp_path / f"im_{i}.jpg")
+    # truncate one file mid-stream
+    p = tmp_path / "im_3.jpg"
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) // 3])
+
+    ds = CustomDataset(str(tmp_path), image_size=32)
+    loader = Loader(ds, batch_size=6, shuffle=False, num_workers=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["img"].shape == (6, 32, 32, 3)
+    assert np.isfinite(batches[0]["img"]).all()
+    assert any("substituted" in str(x.message) for x in w)
+    # the substituted index is recorded so latent caching stays correct
+    assert 3 not in batches[0]["_idx"].tolist() or len(set(batches[0]["_idx"].tolist())) == 6
