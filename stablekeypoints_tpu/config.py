@@ -68,9 +68,21 @@ class Config:
     # TPU-specific
     image_size: int = 512
     dtype: str = "bfloat16"  # compute dtype for the UNet/VAE
+    # cache posterior-mean VAE latents per dataset index (deterministic, so
+    # steady-state steps skip the original-image encode — identical math);
+    # auto-disabled for adapters with per-access augmentation randomness
+    cache_latents: bool = True
+    latent_cache_entries: int = 50_000  # max cached latents (64KB each at 512^2)
     data_parallel: int = -1  # -1 = all available devices
     truncate_unet: bool = True  # stop the forward after the last captured map
     pallas_capture: str = "auto"  # auto|on|off: fused capture-attention kernel
+    flash_attention: str = "auto"  # auto|on|off: flash kernel for long self-attn
+    # rematerialization of transformer blocks in the backward. auto = off at
+    # the reference workload shape (flash attention removed the seq^2
+    # activation tensors, so storing activations fits HBM and skips the full
+    # forward recompute: measured +12% step rate); on for larger-than-
+    # reference shapes (1024^2 images or >8 merged images per device)
+    remat: str = "auto"  # auto|on|off
     eval_batch_images: int = 1  # test images folded into one sharded batch
     # resolution at which the test-time ensemble is warped/averaged:
     # -1 = image resolution (reference-exact, eval.py:253-266); lower values

@@ -114,20 +114,24 @@ def _prep(q, k):
     return qh, kh, t_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def capture_attention(q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: bool = False):
-    """q: [B, N, H, D], k: [B, T, H, D] -> [B, N, T] fp32 head-mean softmax."""
-    return _capture_fwd_impl(q, k, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _capture_core(
+    q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: bool, total_heads: int
+):
+    """q: [B, N, H, D], k: [B, T, H, D] -> [B, N, T] fp32; sums the local
+    heads' softmaxes scaled by 1/total_heads (the full head-mean when
+    total_heads == H; a partial sum to be psum'ed under tensor parallelism)."""
+    return _capture_fwd_impl(q, k, scale, interpret, total_heads)
 
 
-def _capture_fwd_impl(q, k, scale, interpret):
+def _capture_fwd_impl(q, k, scale, interpret, total_heads):
     b, n, h, d = q.shape
     t = k.shape[1]
     qh, kh, t_pad = _prep(q, k)
     bn = _block_n(n)
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, heads=h, t_true=t, scale=scale),
+        functools.partial(_fwd_kernel, heads=total_heads, t_true=t, scale=scale),
         grid=(b, n // bn, h),  # h innermost: out block accumulates in VMEM
         in_specs=[
             pl.BlockSpec((1, 1, bn, d), lambda i, j, hh: (i, hh, j, 0), memory_space=pltpu.VMEM),
@@ -140,12 +144,12 @@ def _capture_fwd_impl(q, k, scale, interpret):
     return out[:, :, :t]
 
 
-def _capture_fwd(q, k, scale, interpret):
-    out = _capture_fwd_impl(q, k, scale, interpret)
+def _capture_fwd(q, k, scale, interpret, total_heads):
+    out = _capture_fwd_impl(q, k, scale, interpret, total_heads)
     return out, (q, k)
 
 
-def _capture_bwd(scale, interpret, res, g):
+def _capture_bwd(scale, interpret, total_heads, res, g):
     q, k = res
     b, n, h, d = q.shape
     t = k.shape[1]
@@ -154,7 +158,7 @@ def _capture_bwd(scale, interpret, res, g):
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t))).astype(jnp.float32)
 
     dq, dk = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=h, t_true=t, scale=scale),
+        functools.partial(_bwd_kernel, heads=total_heads, t_true=t, scale=scale),
         grid=(b, h, n // bn),  # n-block innermost: dk block accumulates in VMEM
         in_specs=[
             pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
@@ -177,4 +181,47 @@ def _capture_bwd(scale, interpret, res, g):
     return dq, dk
 
 
-capture_attention.defvjp(_capture_fwd, _capture_bwd)
+_capture_core.defvjp(_capture_fwd, _capture_bwd)
+
+
+def capture_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    scale: float,
+    interpret: bool = False,
+    mesh=None,
+):
+    """q: [B, N, H, D], k: [B, T, H, D] -> [B, N, T] fp32 head-mean softmax.
+
+    mesh: the runtime's (data, model) device mesh. Pallas calls are opaque
+    to GSPMD (a bare pallas_call under jit gets replicated, all-gathering
+    its operands), so on multi-device meshes the kernel runs under
+    shard_map: batch stays sharded over 'data', heads over 'model' (the
+    column-parallel to_q/to_k shard the head axis), and the head-mean
+    completes with one [B, N, T] psum over 'model' — the only collective.
+    """
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        b, n, h, d = q.shape
+        n_data = mesh.shape.get("data", 1)
+        n_model = mesh.shape.get("model", 1)
+        if b % n_data == 0 and h % n_model == 0:
+            spec = P("data", None, "model", None)
+
+            def local(qs, ks):
+                part = _capture_core(qs, ks, scale, interpret, h)
+                if n_model > 1:
+                    part = jax.lax.psum(part, "model")
+                return part
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=P("data", None, None),
+                # pallas_call out_shapes carry no vma metadata (jax 0.9)
+                check_vma=False,
+            )(q, k)
+        # uneven batch/heads (e.g. eval view counts): replicated fallback
+    return _capture_core(q, k, scale, interpret, q.shape[2])

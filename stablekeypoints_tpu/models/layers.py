@@ -163,6 +163,11 @@ class CrossAttention(nn.Module):
     capture_res: Optional[int] = None
     pallas_capture: bool = False  # fused Pallas kernel for the capture path
     pallas_interpret: bool = False  # interpret mode (non-TPU meshes)
+    flash: bool = False  # Pallas flash attention for long self-attention
+    # device mesh for multi-chip runs: Pallas kernels are opaque to GSPMD,
+    # so on >1-device meshes they run under shard_map (batch over 'data',
+    # heads over 'model')
+    mesh: "object" = None
 
     @nn.compact
     def __call__(
@@ -186,11 +191,24 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
 
-        sim = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim * scale, axis=-1)
-        out = jnp.einsum(
-            "bhnm,bmhd->bnhd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        from stablekeypoints_tpu.kernels.flash import (
+            flash_cross_attention,
+            flash_self_attention,
+            flash_supported,
         )
+
+        if self.flash and context is None and flash_supported(n, m, self.dim_head):
+            out = flash_self_attention(q, k, v, scale, mesh=self.mesh)
+        elif self.flash and context is not None and flash_supported(n, n, self.dim_head):
+            # cross-attention: kv (the learned tokens) is padded to the
+            # 128-lane tile inside the kernel and masked via segment ids
+            out = flash_cross_attention(q, k, v, scale, mesh=self.mesh)
+        else:
+            sim = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(sim * scale, axis=-1)
+            out = jnp.einsum(
+                "bhnm,bmhd->bnhd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
         out = out.reshape(b, n, inner).astype(x.dtype)
         out = nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 
@@ -204,7 +222,9 @@ class CrossAttention(nn.Module):
             if self.pallas_capture:
                 from stablekeypoints_tpu.kernels.attn_capture import capture_attention
 
-                capture = capture_attention(q_up, k, scale, self.pallas_interpret)
+                capture = capture_attention(
+                    q_up, k, scale, self.pallas_interpret, mesh=self.mesh
+                )
             else:
                 sim_up = jnp.einsum(
                     "bnhd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
@@ -258,16 +278,20 @@ class BasicTransformerBlock(nn.Module):
     capture_res: Optional[int] = None
     pallas_capture: bool = False
     pallas_interpret: bool = False
+    flash: bool = False
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x, context):
-        h, _ = CrossAttention(self.heads, self.dim_head, self.dtype, name="attn1")(
-            LayerNorm32(name="norm1")(x)
-        )
+        h, _ = CrossAttention(
+            self.heads, self.dim_head, self.dtype, flash=self.flash,
+            mesh=self.mesh, name="attn1"
+        )(LayerNorm32(name="norm1")(x))
         x = x + h
         h, capture = CrossAttention(
             self.heads, self.dim_head, self.dtype, self.capture_res,
-            self.pallas_capture, self.pallas_interpret, name="attn2"
+            self.pallas_capture, self.pallas_interpret,
+            flash=self.flash, mesh=self.mesh, name="attn2"
         )(LayerNorm32(name="norm2")(x), context)
         x = x + h
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
@@ -286,6 +310,8 @@ class Transformer2D(nn.Module):
     capture_res: Optional[int] = None
     pallas_capture: bool = False
     pallas_interpret: bool = False
+    flash: bool = False
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x, context):
@@ -302,7 +328,8 @@ class Transformer2D(nn.Module):
             res = self.capture_res if i == 0 else None
             x, cap = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, self.dtype, res,
-                self.pallas_capture, self.pallas_interpret, name=f"blocks_{i}"
+                self.pallas_capture, self.pallas_interpret, self.flash,
+                self.mesh, name=f"blocks_{i}"
             )(x, context)
             if cap is not None:
                 captures.append(cap)

@@ -86,6 +86,10 @@ class UNetConfig:
     # interpret-mode fallback keeps CPU tests working
     pallas_capture: bool = False
     pallas_interpret: bool = False
+    # Pallas flash attention for the long (>=1024-query) self-attention
+    # layers: never materializes the [B, heads, seq, seq] similarity (4.3 GB
+    # at 64^2/batch 8) — TPU only, einsum path elsewhere
+    flash_attention: bool = False
 
     def heads_for(self, channels: int) -> tuple[int, int]:
         if self.head_dim_fixed is not None:
@@ -145,6 +149,7 @@ class DownBlock(nn.Module):
     config: UNetConfig
     block_idx: int
     dtype: jnp.dtype
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x, temb, context):
@@ -162,6 +167,8 @@ class DownBlock(nn.Module):
                     dim_head,
                     depth=cfg.transformer_depth[self.block_idx],
                     dtype=self.dtype,
+                    flash=cfg.flash_attention,
+                    mesh=self.mesh,
                     name=f"attentions_{i}",
                 )(x, context)
             skips.append(x)
@@ -174,6 +181,7 @@ class DownBlock(nn.Module):
 class MidBlock(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x, temb, context):
@@ -187,6 +195,8 @@ class MidBlock(nn.Module):
             dim_head,
             depth=cfg.transformer_depth[-1] if cfg.attn_blocks[-1] else 1,
             dtype=self.dtype,
+            flash=cfg.flash_attention,
+            mesh=self.mesh,
             name="attentions_0",
         )(x, context)
         x = Res(ch, dtype=self.dtype, name="resnets_1")(x, temb)
@@ -199,6 +209,7 @@ class UpBlock(nn.Module):
     config: UNetConfig
     block_idx: int  # index into the *reversed* channel list
     dtype: jnp.dtype
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x, skips, temb, context, capture_state):
@@ -232,6 +243,8 @@ class UpBlock(nn.Module):
                     capture_res=capture_res if do_capture else None,
                     pallas_capture=cfg.pallas_capture,
                     pallas_interpret=cfg.pallas_interpret,
+                    flash=cfg.flash_attention,
+                    mesh=self.mesh,
                     name=f"attentions_{i}",
                 )(x, context)
                 if cap is not None:
@@ -252,6 +265,8 @@ class UNet(nn.Module):
 
     config: UNetConfig = SD15_CONFIG
     dtype: jnp.dtype = jnp.bfloat16
+    # multi-device mesh: routes the Pallas kernels through shard_map
+    mesh: "object" = None
 
     @nn.compact
     def __call__(
@@ -298,16 +313,16 @@ class UNet(nn.Module):
 
         skips = [x]
         for b in range(len(cfg.block_channels)):
-            x, block_skips = DownBlock(cfg, b, self.dtype, name=f"down_{b}")(
+            x, block_skips = DownBlock(cfg, b, self.dtype, self.mesh, name=f"down_{b}")(
                 x, temb, context
             )
             skips.extend(block_skips)
 
-        x = MidBlock(cfg, self.dtype, name="mid")(x, temb, context)
+        x = MidBlock(cfg, self.dtype, self.mesh, name="mid")(x, temb, context)
 
         captures: list[jnp.ndarray] = []
         for b in range(len(cfg.block_channels)):
-            x, captures, truncated = UpBlock(cfg, b, self.dtype, name=f"up_{b}")(
+            x, captures, truncated = UpBlock(cfg, b, self.dtype, self.mesh, name=f"up_{b}")(
                 x, skips, temb, context, (capture_res, truncate, captures)
             )
             if truncated:

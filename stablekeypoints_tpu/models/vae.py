@@ -40,6 +40,8 @@ class AttnBlock(nn.Module):
     """Single-head self-attention over spatial positions (VAE mid block)."""
 
     dtype: jnp.dtype = jnp.bfloat16
+    flash: bool = False  # flash kernel at long seq (4096 at 512^2 inputs)
+    mesh: "object" = None  # shard_map the kernel on multi-device meshes
 
     @nn.compact
     def __call__(self, x):
@@ -50,18 +52,33 @@ class AttnBlock(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(x)
-        sim = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim / math.sqrt(c), axis=-1)
-        out = jnp.einsum(
-            "bnm,bmc->bnc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(x.dtype)
-        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
+
+        from stablekeypoints_tpu.kernels.flash import (
+            flash_self_attention,
+            flash_supported,
+        )
+
+        n = h * w
+        if self.flash and flash_supported(n, n, c):
+            out = flash_self_attention(
+                q[:, :, None, :], k[:, :, None, :], v[:, :, None, :],
+                1.0 / math.sqrt(c), mesh=self.mesh,
+            )[:, :, 0, :]
+        else:
+            sim = jnp.einsum("bnc,bmc->bnm", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(sim / math.sqrt(c), axis=-1)
+            out = jnp.einsum(
+                "bnm,bmc->bnc", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(x.dtype)
+        out = nn.Dense(c, dtype=self.dtype, name="to_out")(out.astype(x.dtype))
         return residual + out.reshape(b, h, w, c)
 
 
 class Encoder(nn.Module):
     config: VAEConfig = SD_VAE_CONFIG
     dtype: jnp.dtype = jnp.bfloat16
+    flash: bool = False
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +97,7 @@ class Encoder(nn.Module):
                 )(x)
         ch = cfg.block_channels[-1]
         x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0")(x)
-        x = AttnBlock(dtype=self.dtype, name="mid_attn")(x)
+        x = AttnBlock(dtype=self.dtype, flash=self.flash, mesh=self.mesh, name="mid_attn")(x)
         x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1")(x)
         x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
         x = nn.silu(x)
@@ -96,6 +113,8 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     config: VAEConfig = SD_VAE_CONFIG
     dtype: jnp.dtype = jnp.bfloat16
+    flash: bool = False
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, z):
@@ -105,7 +124,7 @@ class Decoder(nn.Module):
         ch = cfg.block_channels[-1]
         x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
         x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0")(x)
-        x = AttnBlock(dtype=self.dtype, name="mid_attn")(x)
+        x = AttnBlock(dtype=self.dtype, flash=self.flash, mesh=self.mesh, name="mid_attn")(x)
         x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1")(x)
         for b, ch in enumerate(reversed(cfg.block_channels)):
             for i in range(cfg.layers_per_block + 1):
@@ -127,9 +146,12 @@ class VAE(nn.Module):
     config: VAEConfig = SD_VAE_CONFIG
     dtype: jnp.dtype = jnp.bfloat16
 
+    flash: bool = False
+    mesh: "object" = None
+
     def setup(self):
-        self.encoder = Encoder(self.config, self.dtype)
-        self.decoder = Decoder(self.config, self.dtype)
+        self.encoder = Encoder(self.config, self.dtype, self.flash, self.mesh)
+        self.decoder = Decoder(self.config, self.dtype, self.flash, self.mesh)
 
     def encode_mean(self, images: jnp.ndarray) -> jnp.ndarray:
         """images in [-1, 1], NHWC -> scaled latent mean [B, H/8, W/8, 4]."""

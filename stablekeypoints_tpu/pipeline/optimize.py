@@ -76,6 +76,16 @@ def optimize_embedding(
         pmesh.replicated(runtime.mesh),
     )
 
+    # index-keyed cache of posterior-mean VAE latents: deterministic per
+    # image, so cache-hit steps skip the original-image encode entirely
+    # (identical math; the per-step random affine view is always encoded
+    # fresh). Gated on the adapter having no per-access randomness.
+    from stablekeypoints_tpu.data.base import is_deterministic
+
+    lat_cache: dict[int, np.ndarray] | None = (
+        {} if cfg.cache_latents and is_deterministic(dataset) else None
+    )
+
     profiling = False
     start = time.time()
     it_start = start
@@ -86,9 +96,25 @@ def optimize_embedding(
             profiling = True
         batch = next(it)
         images = pmesh.shard_batch(runtime.mesh, batch["img"])
-        context, opt_state, key, metrics = runtime.train_step(
-            context, opt_state, images, key
-        )
+        idx = [int(i) for i in batch.get("_idx", ())]
+        if lat_cache is not None and idx and all(i in lat_cache for i in idx):
+            latents = pmesh.shard_batch(
+                runtime.mesh, np.stack([lat_cache[i] for i in idx])
+            )
+            context, opt_state, key, metrics = runtime.train_step_cached(
+                context, opt_state, latents, images, key
+            )
+        elif lat_cache is not None and idx:
+            context, opt_state, key, metrics, latents = runtime.train_step_fill(
+                context, opt_state, images, key
+            )
+            if len(lat_cache) < cfg.latent_cache_entries:
+                for i, lat in zip(idx, np.asarray(latents)):
+                    lat_cache[i] = lat
+        else:
+            context, opt_state, key, metrics = runtime.train_step(
+                context, opt_state, images, key
+            )
         if profiling and step == start_step + cfg.profile_steps:
             float(metrics["loss"])  # sync before closing the trace
             jax.profiler.stop_trace()

@@ -105,9 +105,24 @@ class Runtime:
                 unet_config = dataclasses.replace(
                     unet_config, pallas_capture=use, pallas_interpret=interp
                 )
+        use_flash = cfg.flash_attention == "on" or (
+            cfg.flash_attention == "auto" and mesh_platform == "tpu"
+        )
+        if use_flash != unet_config.flash_attention:
+            unet_config = dataclasses.replace(unet_config, flash_attention=use_flash)
+        if cfg.remat != "auto":
+            want_remat = cfg.remat == "on"
+        else:
+            per_dev = -(-2 * cfg.batch_size // max(mesh.shape["data"], 1))
+            want_remat = cfg.image_size > 512 or per_dev > 8
+        if want_remat != unet_config.remat:
+            unet_config = dataclasses.replace(unet_config, remat=want_remat)
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        unet = UNet(unet_config, dtype=dtype)
-        vae = VAE(vae_config, dtype=dtype)
+        # Pallas kernels need the mesh to run under shard_map on multi-chip
+        # meshes (they are opaque to GSPMD's partitioner)
+        kernel_mesh = mesh if mesh.devices.size > 1 else None
+        unet = UNet(unet_config, dtype=dtype, mesh=kernel_mesh)
+        vae = VAE(vae_config, dtype=dtype, flash=use_flash, mesh=kernel_mesh)
         if cfg.model_path:
             unet_params = W.load_unet_params(cfg.model_path, unet_config, dtype)
             vae_params = W.load_vae_params(cfg.model_path, vae_config, dtype)
@@ -140,6 +155,15 @@ class Runtime:
     # ------------------------------------------------------------------
     # core computations (pure; jitted wrappers below)
 
+    def _encode(self, vae_params, images: jnp.ndarray) -> jnp.ndarray:
+        """Posterior-mean latents (deterministic per image; image2latent,
+        ptp_utils.py:289-304). Cacheable: add_noise happens downstream."""
+        return jax.lax.stop_gradient(
+            self.vae.apply(
+                {"params": vae_params}, images * 2.0 - 1.0, method=VAE.encode_mean
+            )
+        )
+
     def _attn_maps(
         self,
         unet_params,
@@ -150,13 +174,11 @@ class Runtime:
         upsample_res: int,
         indices: Optional[jnp.ndarray],
         truncate: bool,
+        latents: Optional[jnp.ndarray] = None,  # precomputed [B, h, w, 4]
     ) -> jnp.ndarray:
         cfg = self.cfg
-        latents = jax.lax.stop_gradient(
-            self.vae.apply(
-                {"params": vae_params}, images * 2.0 - 1.0, method=VAE.encode_mean
-            )
-        )
+        if latents is None:
+            latents = self._encode(vae_params, images)
         noise = jax.random.normal(key, latents.shape, jnp.float32)
         t = self.schedule.timestep_at(cfg.noise_level)
         noisy = self.schedule.add_noise(latents, noise, t)
@@ -190,26 +212,52 @@ class Runtime:
         el = equivariance_loss(maps[idx], maps_t[idx], theta)
         return sl, el
 
-    def _train_step(self, unet_params, vae_params, opt, context, opt_state, images, key):
+    def _train_step(
+        self,
+        unet_params,
+        vae_params,
+        opt,
+        context,
+        opt_state,
+        images,
+        key,
+        latents_orig=None,
+        return_latents=False,
+    ):
         """One optimization step. `key` is chained *inside* jit: the caller
         threads the returned key back in, so the host never dispatches
         split/fold_in as separate tiny device programs (which costs real
-        milliseconds per step on remote-dispatch targets)."""
+        milliseconds per step on remote-dispatch targets).
+
+        latents_orig: precomputed VAE latents for the ORIGINAL images (the
+        posterior mean is a deterministic function of the image, so the
+        training loop caches it per dataset index; the warped images change
+        every step and are always encoded fresh). Numerically identical to
+        encoding in-step. return_latents=True additionally returns the
+        original-image latents so the caller can populate its cache.
+        """
         cfg = self.cfg
         key, k_noise, k_theta = jax.random.split(key, 3)
         aff = AffineParams(cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate))
         b = images.shape[0]
         thetas = sample_thetas(k_theta, b, aff)
-        images_t = apply_affine(images, thetas)
+        images_t = apply_affine(images, thetas, params=aff)
         # one merged forward over [orig; warped]: batch ops are independent
         # per element, so this is mathematically the reference's two
         # forwards (optimize.py:349-375) with better MXU utilization and
         # half the dispatches
         both = jnp.concatenate([images, images_t], axis=0)
+        if latents_orig is None:
+            latents = self._encode(vae_params, both)
+        else:
+            latents = jnp.concatenate(
+                [latents_orig, self._encode(vae_params, images_t)], axis=0
+            )
 
         def loss_fn(ctx):
             maps_all = self._attn_maps(
-                unet_params, vae_params, both, ctx, k_noise, -1, None, cfg.truncate_unet
+                unet_params, vae_params, both, ctx, k_noise, -1, None,
+                cfg.truncate_unet, latents=latents,
             )
             maps, maps_t = maps_all[:b], maps_all[b:]
             sls, els = jax.vmap(self._per_sample_losses)(maps, maps_t, thetas)
@@ -221,6 +269,8 @@ class Runtime:
         updates, opt_state = opt.update(grads, opt_state, context)
         context = optax.apply_updates(context, updates)
         aux = dict(aux, loss=loss)
+        if return_latents:
+            return context, opt_state, key, aux, latents[:b]
         return context, opt_state, key, aux
 
     # ------------------------------------------------------------------
@@ -257,6 +307,61 @@ class Runtime:
             donate_argnums=(2, 3, 5),
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def train_step_fill(self):
+        """Like train_step, but additionally returns the original-image VAE
+        latents [B, h, w, 4] so the training loop can populate its latent
+        cache (cache-miss steps)."""
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def step(unet_params, vae_params, context, opt_state, images, key):
+            return self._train_step(
+                unet_params, vae_params, self.optimizer,
+                context, opt_state, images, key, return_latents=True,
+            )
+
+        jitted = jax.jit(
+            step,
+            in_shardings=(None, None, repl, repl, data, repl),
+            out_shardings=(repl, repl, repl, repl, data),
+            donate_argnums=(2, 3, 5),
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def train_step_cached(self):
+        """(context, opt_state, latents_orig, images, key) -> same outputs as
+        train_step, skipping the original-image VAE encode (steady-state
+        cache-hit steps: ~half the VAE work per step, identical math)."""
+        repl = pmesh.replicated(self.mesh)
+        data = pmesh.batch_sharding(self.mesh)
+
+        def step(unet_params, vae_params, context, opt_state, latents, images, key):
+            return self._train_step(
+                unet_params, vae_params, self.optimizer,
+                context, opt_state, images, key, latents_orig=latents,
+            )
+
+        jitted = jax.jit(
+            step,
+            in_shardings=(None, None, repl, repl, data, data, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(2, 3, 6),
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
+    def encode_images_fn(self):
+        """(images [B, H, W, 3]) -> posterior-mean latents [B, h, w, 4]."""
+        data = pmesh.batch_sharding(self.mesh)
+
+        def fn(vae_params, images):
+            return self._encode(vae_params, images)
+
+        jitted = jax.jit(fn, in_shardings=(None, data), out_shardings=data)
+        return functools.partial(jitted, self.vae_params)
 
     @functools.cached_property
     def attn_maps_fn(self):
@@ -297,20 +402,24 @@ class Runtime:
             cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
         )
         thetas = sample_thetas(k_theta, m * n, aff)
-        imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas)
+        imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas, params=aff)
         imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
         maps = self._attn_maps(
             unet_params, vae_params, imgs_t, context, k_noise, ens, indices, True
         )  # [M*n, k, E, E]
 
-        def inv(x):  # inverse-warp with per-view thetas (maps ride as channels)
-            from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
-
-            return apply_inverse_affine(x.transpose(0, 2, 3, 1), thetas).transpose(0, 3, 1, 2)
-
         kk = maps.shape[1]
-        num = inv(jnp.ones_like(maps)).reshape(m, n, kk, ens, ens).sum(axis=1)
-        tot = inv(maps).reshape(m, n, kk, ens, ens).sum(axis=1)
+        # one inverse warp for maps AND the view-count mask: the all-ones
+        # mask rides as one extra channel (NHWC, maps as channels), and the
+        # static params bound routes the warp onto the MXU path
+        from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
+
+        stacked = jnp.concatenate(
+            [maps, jnp.ones((m * n, 1, ens, ens), maps.dtype)], axis=1
+        ).transpose(0, 2, 3, 1)
+        warped = apply_inverse_affine(stacked, thetas, params=aff).transpose(0, 3, 1, 2)
+        warped = warped.reshape(m, n, kk + 1, ens, ens).sum(axis=1)
+        tot, num = warped[:, :kk], warped[:, kk:]
         avg = jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)
         if ens != size:
             avg = resize_hw(avg.reshape(m * kk, ens, ens), size, size, "bilinear").reshape(

@@ -61,3 +61,46 @@ def test_bf16_inputs():
     ref = capture_attention_reference(q, k, 0.125)
     assert out.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_capture_attention_shard_map_matches_replicated():
+    """Under a dp x tp mesh the kernel runs via shard_map (heads on 'model',
+    batch on 'data', one psum) — must equal the single-device path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stablekeypoints_tpu.kernels.attn_capture import capture_attention
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(0)
+    b, n, h, d, t = 8, 64, 4, 16, 20
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    mesh = pmesh.make_mesh(4, 2)
+    a = np.asarray(capture_attention(q, k, 0.25, True))
+    bb = np.asarray(
+        jax.jit(lambda q, k: capture_attention(q, k, 0.25, True, mesh=mesh))(q, k)
+    )
+    np.testing.assert_allclose(a, bb, atol=1e-5)
+
+
+def test_capture_attention_shard_map_gradients():
+    """dk (the context gradient path) through shard_map + psum."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stablekeypoints_tpu.kernels.attn_capture import capture_attention
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(1)
+    b, n, h, d, t = 8, 64, 4, 16, 20
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, n, t)), jnp.float32)
+    mesh = pmesh.make_mesh(4, 2)
+
+    g_ref = jax.grad(lambda k: jnp.sum(capture_attention(q, k, 0.25, True) * cot))(k)
+    g_smap = jax.jit(
+        jax.grad(lambda k: jnp.sum(capture_attention(q, k, 0.25, True, mesh=mesh) * cot))
+    )(k)
+    np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_smap), atol=1e-5)

@@ -139,3 +139,47 @@ def test_low_res_ensemble_close_to_exact():
         )
     # same random weights/keys: locations should agree within a few pixels
     assert np.abs(pts[-1] - pts[16]).max() < 0.12
+
+
+def test_cached_latent_step_matches_uncached(tiny_runtime):
+    """train_step_cached(encode(images), images) must be bit-equivalent to
+    train_step(images): the latent cache is a pure reordering of the same
+    deterministic encode."""
+    import jax as _jax
+
+    rt = tiny_runtime
+    imgs = pmesh.shard_batch(
+        rt.mesh,
+        np.random.default_rng(3).uniform(0, 1, (8, 64, 64, 3)).astype(np.float32),
+    )
+    ctx0 = rt.init_context()
+    opt0 = rt.optimizer.init(ctx0)
+
+    # the step donates (context, opt_state, key): use fresh equal-valued keys
+    ctx_a, _, _, m_a = rt.train_step(ctx0, opt0, imgs, _jax.random.PRNGKey(7))
+    lat = rt.encode_images_fn(imgs)
+    ctx_b, _, _, m_b = rt.train_step_cached(
+        rt.init_context(), rt.optimizer.init(rt.init_context()), lat, imgs,
+        _jax.random.PRNGKey(7),
+    )
+    np.testing.assert_allclose(np.asarray(ctx_a), np.asarray(ctx_b), atol=1e-6)
+    assert abs(float(m_a["loss"]) - float(m_b["loss"])) < 1e-5
+
+
+def test_optimize_loop_cache_on_off_identical():
+    """The full stage-1 loop with the latent cache produces the same
+    embedding as without it (same seeds -> same data order and PRNG)."""
+    from stablekeypoints_tpu.data.synthetic import SyntheticBlobs as _SB
+
+    results = {}
+    for cache in (True, False):
+        cfg = tiny_config(num_steps=4, cache_latents=cache)
+        rt = Runtime.create(
+            cfg,
+            __import__("stablekeypoints_tpu.models.unet", fromlist=["x"]).tiny_unet_config(),
+            __import__("stablekeypoints_tpu.models.vae", fromlist=["x"]).tiny_vae_config(),
+            mesh=pmesh.make_mesh(),
+        )
+        ds = _SB(length=16, image_size=64, num_kpts=4)
+        results[cache] = np.asarray(optimize_embedding(rt, ds))
+    np.testing.assert_allclose(results[True], results[False], atol=1e-6)

@@ -82,3 +82,48 @@ def test_sample_thetas_ranges():
     )
     s = np.sqrt(det)
     assert np.all(s >= 0.8 - 1e-5) and np.all(s <= 1.0 + 1e-5)
+
+
+def test_warp_affine_mxu_matches_gather_path():
+    """The tiled-matmul warp must reproduce the per-pixel-gather warp
+    exactly (same bilinear taps/weights/zero padding; fp-order only)."""
+    import jax as _jax
+    from stablekeypoints_tpu.ops.transforms import (
+        AffineParams,
+        invert_theta,
+        sample_thetas,
+        warp_affine,
+        warp_affine_mxu,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(0, 1, (3, 256, 256, 11)).astype(np.float32))
+    thetas = sample_thetas(_jax.random.PRNGKey(1), 3, AffineParams())
+    for th in (thetas, invert_theta(thetas)):
+        a = np.asarray(warp_affine(img, th))
+        b = np.asarray(warp_affine_mxu(img, th))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_warp_affine_static_dispatch():
+    """apply_affine with params routes to the MXU path only when the static
+    source-stride bound fits the window; extreme ranges fall back to the
+    gather path and stay correct."""
+    import jax as _jax
+    from stablekeypoints_tpu.ops.transforms import (
+        AffineParams,
+        apply_affine,
+        sample_thetas,
+        warp_affine,
+    )
+
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32))
+    # big scale-down (inverse scale 5x): bound exceeds the window
+    wild = AffineParams(degrees=40.0, scale=(0.2, 0.3), translate=(0.4, 0.4))
+    thetas = sample_thetas(_jax.random.PRNGKey(3), 2, wild)
+    got = np.asarray(apply_affine(img, thetas, params=wild))
+    want = np.asarray(warp_affine(img, thetas))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert wild.max_row_sum(inverse=True) * 63 + 4 > 128  # would not fit
+    assert AffineParams().max_row_sum(inverse=True) * 63 + 4 <= 128  # fits
