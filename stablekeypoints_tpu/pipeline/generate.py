@@ -30,31 +30,53 @@ def generate_images(
     key=None,
     latent_hw: int | None = None,
     capture_final_maps: bool = False,
+    guidance_scale: float = 1.0,
+    uncond_context=None,
 ):
-    """Sample images; optionally also return the final step's token maps."""
+    """Sample images; optionally also return the final step's token maps.
+
+    guidance_scale > 1 enables classifier-free guidance: eps = eps_uncond +
+    s * (eps_text - eps_uncond), the reference's low_resource=False branch
+    (ptp_utils.py:337-349). The reference's uncond embedding is CLIP("")
+    (ptp_utils.py:431-435); with the learned context replacing the text
+    encoder entirely, `uncond_context` defaults to zeros [1, 77, 768] (pass
+    a real CLIP("") embedding to reproduce checkpoint-faithful CFG). At
+    scale 1.0 the uncond forward is skipped — the reference's executed
+    low_resource=True path.
+    """
     cfg = runtime.cfg
     sched = runtime.schedule
     key = key if key is not None else jax.random.PRNGKey(cfg.seed + 8)
     hw = latent_hw if latent_hw is not None else cfg.image_size // 8
+    use_cfg = guidance_scale != 1.0
+    if uncond_context is None:
+        uncond_context = jnp.zeros((1, 77, context.shape[-1]), jnp.float32)
 
     # params are explicit args: closed-over trees become HLO constants and
     # ship the full weights to the compiler
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def sample(unet_params, vae_params, context, key, capture: bool):
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def sample(unet_params, vae_params, context, uncond, key, capture: bool):
         latents = jax.random.normal(
             key, (num_images, hw, hw, runtime.unet.config.in_channels), jnp.float32
         )
         ctx = jnp.broadcast_to(context, (num_images, *context.shape[1:]))
+        uctx = jnp.broadcast_to(uncond, (num_images, *uncond.shape[1:]))
         n_steps = len(sched.timesteps)
+
+        def eps_fn(lat, ts, c):
+            eps, _ = runtime.unet.apply({"params": unet_params}, lat, ts, c)
+            return eps
 
         def body(i, lat):
             t = jnp.asarray(sched.timesteps)[i]
-            eps, _ = runtime.unet.apply(
-                {"params": unet_params},
-                lat,
-                jnp.full((num_images,), t, jnp.int32),
-                ctx,
-            )
+            ts = jnp.full((num_images,), t, jnp.int32)
+            eps = eps_fn(lat, ts, ctx)
+            if use_cfg:
+                # two forwards (the learned context's token count differs
+                # from the uncond's, so the reference's cat-by-2 batching
+                # does not apply); same math as ptp_utils.py:344-348
+                eps_u = eps_fn(lat, ts, uctx)
+                eps = eps_u + guidance_scale * (eps - eps_u)
             # DDIM update (unrolled indexing done via gather on tables)
             acp = jnp.asarray(sched.alphas_cumprod)
             step_ratio = sched.num_train_timesteps // n_steps
@@ -84,7 +106,8 @@ def generate_images(
         return images, maps
 
     images, maps = sample(
-        runtime.unet_params, runtime.vae_params, context, key, capture_final_maps
+        runtime.unet_params, runtime.vae_params, context, uncond_context, key,
+        capture_final_maps,
     )
     return (np.asarray(images), None if maps is None else np.asarray(maps))
 
@@ -107,6 +130,11 @@ def main(argv=None):
     p.add_argument("--num_images", type=int, default=1)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--guidance_scale", type=float, default=1.0,
+        help="classifier-free guidance scale; 1.0 = text-only "
+        "(the reference's executed low_resource=True path)",
+    )
     args = p.parse_args(argv)
 
     embedding = load_artifact(args.save_folder, "embedding")
@@ -115,7 +143,10 @@ def main(argv=None):
         image_size=args.image_size, num_tokens=embedding.shape[1], seed=args.seed,
     )
     runtime = Runtime.create(cfg)
-    images, _ = generate_images(runtime, jnp.asarray(embedding), args.num_images)
+    images, _ = generate_images(
+        runtime, jnp.asarray(embedding), args.num_images,
+        guidance_scale=args.guidance_scale,
+    )
     for i, img in enumerate(images):
         out = os.path.join(args.save_folder, f"generated_{i:03d}.png")
         Image.fromarray((img * 255).astype(np.uint8)).save(out)
