@@ -99,3 +99,46 @@ def test_sdxl_conversion_covers_every_param():
     assert set(flat_out) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(flat_out[k], flat[k], err_msg=k)
+
+
+def test_sdxl_1024_capture_rule_pins_three_layers():
+    """At SDXL's 1024^2 production shape, the <=32^2-seq capture rule
+    qualifies ONLY the deepest up block's 3 transformer stacks (the 64^2
+    up block exceeds the seq cap), so 3 maps are captured, the 4-map
+    truncation never fires, and eps IS produced. Pinned here on the tiny
+    SDXL topology with the seq cap scaled to the same relative position
+    (replaces the broken reference intent, sdxl_monkey_patch.py:89-214)."""
+    import dataclasses
+
+    cfg = sdxl_tiny_config()
+    # latents 16^2 -> up path resolutions 4^2 then 8^2; cap at 4^2 mirrors
+    # 1024^2 production (up path 32^2 then 64^2; cap at 32^2)
+    cfg = dataclasses.replace(cfg, capture_max_seq=16)
+    model, params = _init(cfg, hw=16)
+    lat = jnp.ones((1, 16, 16, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.ones((1, 10, cfg.context_dim))
+    eps, caps = model.apply(
+        {"params": params}, lat, t, ctx, capture_res=8, truncate=True
+    )
+    assert len(caps) == 3              # only the deepest block captures
+    assert eps is not None             # truncation never fired
+    for c in caps:
+        assert c.shape == (1, 64, 10)  # all maps at capture_res^2
+
+
+def test_sdxl_512_capture_rule_pins_four_layers_and_truncates():
+    """At 512^2 (latents 64^2) the up path hits 16^2 (3 stacks) then 32^2
+    (first stack) under the seq cap -> exactly 4 captures + truncation."""
+    cfg = sdxl_tiny_config()  # default cap 32^2 = 1024
+    model, params = _init(cfg, hw=64)
+    lat = jnp.ones((1, 64, 64, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.ones((1, 10, cfg.context_dim))
+    eps, caps = model.apply(
+        {"params": params}, lat, t, ctx, capture_res=16, truncate=True
+    )
+    assert len(caps) == 4
+    assert eps is None  # truncated after the 4th captured map
+    for c in caps:
+        assert c.shape == (1, 256, 10)
