@@ -41,13 +41,17 @@ REFERENCE_A100_STEPS_PER_SEC = 0.3  # see module docstring
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    # BENCH_MODEL=sdxl benches the SDXL backbone (1024^2, batch 1) instead
+    # of the headline SD-1.5 workload; prints the same one-line contract.
+    sdxl = os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl"
+    batch = int(os.environ.get("BENCH_BATCH", "1" if sdxl else "4"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
-    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024" if sdxl else "512"))
     num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "500"))
 
     cfg = Config(
         dataset_name="synthetic",
+        model_type="sdxl" if sdxl else Config.model_type,
         image_size=image_size,
         num_tokens=num_tokens,
         batch_size=batch,
@@ -95,12 +99,14 @@ def main():
     steps_per_sec = steps / dt
     n_chips = runtime.mesh.devices.size
     per_chip = steps_per_sec / n_chips
+    name = "sdxl" if sdxl else "sd15"
     print(
         json.dumps(
             {
-                "metric": "sd15_token_optimization_steps_per_sec_per_chip",
+                "metric": f"{name}_token_optimization_steps_per_sec_per_chip",
                 "value": round(per_chip, 4),
-                "unit": "steps/s/chip (batch 4, 500 tokens, 128^2 capture)",
+                "unit": f"steps/s/chip (batch {batch}, {num_tokens} tokens, "
+                f"{cfg.feature_upsample_res}^2 capture, {image_size}^2 images)",
                 "vs_baseline": round(per_chip / REFERENCE_A100_STEPS_PER_SEC, 2),
             }
         )

@@ -84,6 +84,10 @@ class Config:
     # reference shapes (1024^2 images or >8 merged images per device)
     remat: str = "auto"  # auto|on|off
     eval_batch_images: int = 1  # test images folded into one sharded batch
+    # max augmented views per forward pass in the test-time ensemble: more
+    # images per call chunk through the UNet sequentially (lax.map) so HBM
+    # stays bounded while per-call overheads amortize
+    eval_views_per_pass: int = 16
     # resolution at which the test-time ensemble is warped/averaged:
     # -1 = image resolution (reference-exact, eval.py:253-266); lower values
     # (e.g. 128) warp at capture resolution and upsample the average,

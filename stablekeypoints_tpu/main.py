@@ -88,6 +88,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default=d.dtype, choices=["bfloat16", "float32"])
     p.add_argument("--data_parallel", type=int, default=d.data_parallel)
     p.add_argument("--no_truncate_unet", dest="truncate_unet", action="store_false")
+    p.add_argument("--pallas_capture", type=str, default=d.pallas_capture,
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas capture-attention kernel")
+    p.add_argument("--flash_attention", type=str, default=d.flash_attention,
+                   choices=["auto", "on", "off"],
+                   help="Pallas flash kernel for long self-attention")
+    p.add_argument("--remat", type=str, default=d.remat,
+                   choices=["auto", "on", "off"],
+                   help="rematerialize transformer blocks in the backward")
+    p.add_argument("--no_cache_latents", dest="cache_latents", action="store_false",
+                   help="disable the per-index VAE latent cache")
+    p.add_argument("--latent_cache_entries", type=int, default=d.latent_cache_entries)
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--checkpoint_every", type=int, default=d.checkpoint_every)
     p.add_argument("--resume", action="store_true",

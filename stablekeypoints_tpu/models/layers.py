@@ -214,11 +214,17 @@ class CrossAttention(nn.Module):
 
         capture = None
         if capture_res is not None:
+            # The reference upsamples hidden states then re-projects
+            # (ptp_utils.py:519-526: q = to_q(bicubic(x))); both ops are
+            # linear, so they commute: q_up = bicubic(to_q(x)) — and to_q(x)
+            # is already computed for the layer's own attention. This
+            # deletes the [res^2, C] x [C, C] re-projection (~430 GFLOP per
+            # 1280-channel layer at 128^2) and its backward; identical math
+            # up to fp order.
             s = int(round(math.sqrt(n)))
-            x_sq = x.reshape(b, s, s, x.shape[-1])
-            x_up = upsample_bicubic(x_sq, capture_res, capture_res)
-            x_up = x_up.reshape(b, capture_res * capture_res, x.shape[-1])
-            q_up = to_q(x_up).reshape(b, capture_res * capture_res, self.heads, self.dim_head)
+            q_sq = q.reshape(b, s, s, inner)
+            q_up = upsample_bicubic(q_sq, capture_res, capture_res)
+            q_up = q_up.reshape(b, capture_res * capture_res, self.heads, self.dim_head)
             if self.pallas_capture:
                 from stablekeypoints_tpu.kernels.attn_capture import capture_attention
 

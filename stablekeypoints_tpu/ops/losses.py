@@ -34,15 +34,17 @@ def sharpening_loss(
 
 
 def equivariance_loss(
-    maps: jnp.ndarray, maps_transformed: jnp.ndarray, theta: jnp.ndarray
+    maps: jnp.ndarray, maps_transformed: jnp.ndarray, theta: jnp.ndarray, params=None
 ) -> jnp.ndarray:
     """MSE(maps, inverse-warp(maps_transformed)).
 
     maps, maps_transformed: [K, H, W]; theta: [2, 3], the affine that
     produced the transformed image (optimize.py:157-163). The K selected
-    maps ride the warp as channels of one image.
+    maps ride the warp as channels of one image. `params` (the static
+    AffineParams the theta was drawn from) routes the warp onto the MXU
+    fast path.
     """
     warped = apply_inverse_affine(
-        maps_transformed.transpose(1, 2, 0)[None], theta[None]
+        maps_transformed.transpose(1, 2, 0)[None], theta[None], params=params
     )[0].transpose(2, 0, 1)
     return jnp.mean((maps - warped) ** 2)

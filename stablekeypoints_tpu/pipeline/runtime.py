@@ -209,7 +209,10 @@ class Runtime:
             jax.lax.stop_gradient(maps_t), cfg.top_k, cands
         )
         sl = sharpening_loss(maps[idx], sigma=cfg.sigma, num_subjects=cfg.num_subjects)
-        el = equivariance_loss(maps[idx], maps_t[idx], theta)
+        aff = AffineParams(
+            cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+        )
+        el = equivariance_loss(maps[idx], maps_t[idx], theta, params=aff)
         return sl, el
 
     def _train_step(
@@ -404,20 +407,46 @@ class Runtime:
         thetas = sample_thetas(k_theta, m * n, aff)
         imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas, params=aff)
         imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
-        maps = self._attn_maps(
-            unet_params, vae_params, imgs_t, context, k_noise, ens, indices, True
-        )  # [M*n, k, E, E]
 
-        kk = maps.shape[1]
-        # one inverse warp for maps AND the view-count mask: the all-ones
-        # mask rides as one extra channel (NHWC, maps as channels), and the
-        # static params bound routes the warp onto the MXU path
         from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
 
-        stacked = jnp.concatenate(
-            [maps, jnp.ones((m * n, 1, ens, ens), maps.dtype)], axis=1
-        ).transpose(0, 2, 3, 1)
-        warped = apply_inverse_affine(stacked, thetas, params=aff).transpose(0, 3, 1, 2)
+        def views_to_warped(imgs_c, thetas_c, key_c):
+            """views -> inverse-warped [*, k+1, E, E]: one warp for maps AND
+            the view-count mask (the all-ones mask rides as an extra NHWC
+            channel); the static params bound routes it onto the MXU path."""
+            maps = self._attn_maps(
+                unet_params, vae_params, imgs_c, context, key_c, ens, indices, True
+            )  # [*, k, E, E]
+            kk = maps.shape[1]
+            stacked = jnp.concatenate(
+                [maps, jnp.ones((maps.shape[0], 1, ens, ens), maps.dtype)], axis=1
+            ).transpose(0, 2, 3, 1)
+            return apply_inverse_affine(stacked, thetas_c, params=aff).transpose(
+                0, 3, 1, 2
+            )
+
+        # chunk the views through the forward so HBM stays bounded when many
+        # test images are batched (M * augmentation_iterations views total)
+        v = m * n
+        chunk = next(
+            (c for c in range(min(cfg.eval_views_per_pass, v), 0, -1) if v % c == 0),
+            v,
+        )
+        if chunk == v:
+            warped = views_to_warped(imgs_t, thetas, k_noise)
+        else:
+            nc = v // chunk
+            warped = jax.lax.map(
+                lambda args: views_to_warped(*args),
+                (
+                    imgs_t.reshape(nc, chunk, *imgs_t.shape[1:]),
+                    thetas.reshape(nc, chunk, 2, 3),
+                    jax.vmap(lambda i: jax.random.fold_in(k_noise, i))(
+                        jnp.arange(nc)
+                    ),
+                ),
+            ).reshape(v, -1, ens, ens)
+        kk = warped.shape[1] - 1
         warped = warped.reshape(m, n, kk + 1, ens, ens).sum(axis=1)
         tot, num = warped[:, :kk], warped[:, kk:]
         avg = jnp.nan_to_num(tot / num, nan=0.0, posinf=0.0, neginf=0.0)

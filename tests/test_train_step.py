@@ -183,3 +183,66 @@ def test_optimize_loop_cache_on_off_identical():
         ds = _SB(length=16, image_size=64, num_kpts=4)
         results[cache] = np.asarray(optimize_embedding(rt, ds))
     np.testing.assert_allclose(results[True], results[False], atol=1e-6)
+
+
+def test_optimize_loop_hits_cached_path():
+    """After the first epoch every index is cached, so steady-state steps
+    must route through train_step_cached (the whole point of the cache)."""
+    from stablekeypoints_tpu.data.synthetic import SyntheticBlobs as _SB
+
+    cfg = tiny_config(num_steps=5, batch_size=8)
+    rt = Runtime.create(
+        cfg,
+        __import__("stablekeypoints_tpu.models.unet", fromlist=["x"]).tiny_unet_config(),
+        __import__("stablekeypoints_tpu.models.vae", fromlist=["x"]).tiny_vae_config(),
+        mesh=pmesh.make_mesh(),
+    )
+    calls = {"cached": 0, "fill": 0}
+    cached, fill = rt.train_step_cached, rt.train_step_fill
+
+    def spy_cached(*a, **k):
+        calls["cached"] += 1
+        return cached(*a, **k)
+
+    def spy_fill(*a, **k):
+        calls["fill"] += 1
+        return fill(*a, **k)
+
+    rt.__dict__["train_step_cached"] = spy_cached
+    rt.__dict__["train_step_fill"] = spy_fill
+    optimize_embedding(rt, _SB(length=8, image_size=64, num_kpts=4))
+    assert calls["fill"] >= 1
+    assert calls["cached"] >= 3  # one 8-image epoch fills; the rest hit
+
+
+def test_ensemble_view_chunking_is_exact(monkeypatch):
+    """Chunking the ensemble's views through lax.map must be a pure
+    reshape/reduction refactor: with the per-view noise draw zeroed out
+    (it legitimately depends on the chunking of the PRNG stream),
+    chunked and single-pass ensembles are identical."""
+    import jax as _jax
+
+    imgs = np.random.default_rng(5).uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    idx = np.arange(4, dtype=np.int32)
+    out = {}
+    for chunk in (1000, 4):  # 2 images x 8 views = 16 views; 4 chunks of 4
+        cfg = tiny_config(augmentation_iterations=8, eval_views_per_pass=chunk)
+        rt = Runtime.create(
+            cfg,
+            __import__("stablekeypoints_tpu.models.unet", fromlist=["x"]).tiny_unet_config(),
+            __import__("stablekeypoints_tpu.models.vae", fromlist=["x"]).tiny_vae_config(),
+            mesh=pmesh.make_mesh(),
+        )
+        ctx = rt.init_context()
+        real_normal = _jax.random.normal
+        monkeypatch.setattr(
+            _jax.random, "normal",
+            lambda key, shape, dtype=jnp.float32: jnp.zeros(shape, dtype),
+        )
+        try:
+            out[chunk] = np.asarray(
+                rt.augmented_keypoints_fn(ctx, imgs, idx, _jax.random.PRNGKey(1))
+            )
+        finally:
+            monkeypatch.setattr(_jax.random, "normal", real_normal)
+    np.testing.assert_allclose(out[1000], out[4], atol=1e-5)
