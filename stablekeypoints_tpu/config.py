@@ -77,6 +77,7 @@ class Config:
     truncate_unet: bool = True  # stop the forward after the last captured map
     pallas_capture: str = "auto"  # auto|on|off: fused capture-attention kernel
     flash_attention: str = "auto"  # auto|on|off: flash kernel for long self-attn
+    fused_groupnorm: str = "auto"  # auto|on|off: fused VAE GroupNorm+SiLU kernel
     # rematerialization of transformer blocks in the backward. auto = off at
     # the reference workload shape (flash attention removed the seq^2
     # activation tensors, so storing activations fits HBM and skips the full

@@ -10,17 +10,24 @@ and pays multiple HBM passes over them; this kernel keeps one (head, query
 block) [BN, T] tile in VMEM and accumulates the head-mean directly into the
 [B, N, T] output block.
 
-Layout notes (TPU): heads live on a *grid* dimension, never sliced out of
-the lane axis (offset slicing at d_head=160 would force relayouts). The
-forward grid is (B, N/BN, H) with H innermost so the output block stays
-resident in VMEM across the head accumulation; the backward grid is
-(B, H, N/BN) with the query-block dim innermost so the dK block stays
-resident across its accumulation.
+Layout notes (TPU): q arrives HEAD-MAJOR [B, H, N, D] (the upsample that
+produces it emits this layout directly, `upsample_bicubic_headmajor`), so
+neither the forward nor the backward relayouts the 16384-query tensor; heads
+live on a *grid* dimension, never sliced out of the lane axis (offset
+slicing at d_head=40 would force relayouts). The forward grid is
+(B, N/BN, H) with H innermost so the output block stays resident in VMEM
+across the head accumulation; the backward grid is (B, H, N/BN) with the
+query-block dim innermost so the dK block stays resident across its
+accumulation. Backward matmuls run in the input dtype (bf16 on the real
+path -> MXU rate; fp32 accumulate via preferred_element_type), and dq is
+written in the input dtype and layout, feeding the upsample VJP with no
+relayout.
 
 Token count is padded to a lane multiple; padded key columns are masked to
 -inf before the softmax so results match the unpadded einsum path exactly.
 Wrapped in jax.custom_vjp (the backward kernel recomputes the softmax tile
-and applies the softmax VJP).
+and applies the softmax VJP). Replaces the recomputed-attention hot spot of
+the reference (ptp_utils.py:508-538).
 """
 
 from __future__ import annotations
@@ -40,8 +47,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def capture_attention_reference(q: jnp.ndarray, k: jnp.ndarray, scale: float) -> jnp.ndarray:
-    """Unfused reference: q [B, N, H, D], k [B, T, H, D] -> [B, N, T] fp32."""
-    sim = jnp.einsum("bnhd,bthd->bhnt", q, k, preferred_element_type=jnp.float32)
+    """Unfused reference: q [B, H, N, D], k [B, T, H, D] -> [B, N, T] fp32."""
+    sim = jnp.einsum("bhnd,bthd->bhnt", q, k, preferred_element_type=jnp.float32)
     attn = jax.nn.softmax(sim * scale, axis=-1)
     return attn.mean(axis=1)
 
@@ -79,10 +86,12 @@ def _bwd_kernel(
     t1 = g * p
     dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
     dsim = jnp.where(valid, dsim, 0.0)
+    # matmuls in the input dtype (bf16 -> MXU), fp32 accumulation; matches
+    # the precision of the XLA einsum fallback's backward
+    dsim = dsim.astype(kh.dtype)
 
     dq_ref[0, 0] = jax.lax.dot_general(
-        dsim, kh.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        dsim, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
 
     @pl.when(pl.program_id(2) == 0)
@@ -90,9 +99,8 @@ def _bwd_kernel(
         dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
 
     dk_ref[0, 0] += jax.lax.dot_general(
-        dsim, qh.astype(jnp.float32), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dk_ref.dtype)
+        dsim, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _block_n(n: int) -> int:
@@ -102,34 +110,30 @@ def _block_n(n: int) -> int:
     return n
 
 
-def _prep(q, k):
-    """[B, N, H, D] / [B, T, H, D] -> head-major [B, H, N, D] / padded k."""
-    b, n, h, d = q.shape
+def _prep_k(k):
+    """[B, T, H, D] -> head-major padded [B, H, T_pad, D] (k is tiny)."""
     t = k.shape[1]
     t_pad = _round_up(t, 128)
-    qh = q.transpose(0, 2, 1, 3)
     kh = k.transpose(0, 2, 1, 3)
     if t_pad != t:
         kh = jnp.pad(kh, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
-    return qh, kh, t_pad
+    return kh, t_pad
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _capture_core(
     q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: bool, total_heads: int
 ):
-    """q: [B, N, H, D], k: [B, T, H, D] -> [B, N, T] fp32; sums the local
+    """q: [B, H, N, D], k: [B, T, H, D] -> [B, N, T] fp32; sums the local
     heads' softmaxes scaled by 1/total_heads (the full head-mean when
     total_heads == H; a partial sum to be psum'ed under tensor parallelism)."""
-    return _capture_fwd_impl(q, k, scale, interpret, total_heads)
+    out, _ = _capture_fwd(q, k, scale, interpret, total_heads)
+    return out
 
 
-def _capture_fwd_impl(q, k, scale, interpret, total_heads):
-    b, n, h, d = q.shape
-    t = k.shape[1]
-    qh, kh, t_pad = _prep(q, k)
+def _run_fwd(qh, kh, t, t_pad, scale, interpret, total_heads):
+    b, h, n, d = qh.shape
     bn = _block_n(n)
-
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=total_heads, t_true=t, scale=scale),
         grid=(b, n // bn, h),  # h innermost: out block accumulates in VMEM
@@ -145,15 +149,17 @@ def _capture_fwd_impl(q, k, scale, interpret, total_heads):
 
 
 def _capture_fwd(q, k, scale, interpret, total_heads):
-    out = _capture_fwd_impl(q, k, scale, interpret, total_heads)
-    return out, (q, k)
+    t = k.shape[1]
+    kh, t_pad = _prep_k(k)
+    out = _run_fwd(q, kh, t, t_pad, scale, interpret, total_heads)
+    # residuals are already kernel-layout: no relayout in the backward
+    return out, (q, kh, t)
 
 
 def _capture_bwd(scale, interpret, total_heads, res, g):
-    q, k = res
-    b, n, h, d = q.shape
-    t = k.shape[1]
-    qh, kh, t_pad = _prep(q, k)
+    qh, kh, t = res
+    b, h, n, d = qh.shape
+    t_pad = kh.shape[2]
     bn = _block_n(n)
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t))).astype(jnp.float32)
 
@@ -170,14 +176,13 @@ def _capture_bwd(scale, interpret, total_heads, res, g):
             pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, n, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n, d), qh.dtype),  # head-major, no relayout
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),  # accumulated fp32
         ],
         interpret=interpret,
     )(qh, kh, gp)
 
-    dq = dq.transpose(0, 2, 1, 3).astype(q.dtype)
-    dk = dk[:, :, :t].transpose(0, 2, 1, 3).astype(k.dtype)
+    dk = dk[:, :, :t].transpose(0, 2, 1, 3).astype(kh.dtype)
     return dq, dk
 
 
@@ -191,7 +196,8 @@ def capture_attention(
     interpret: bool = False,
     mesh=None,
 ):
-    """q: [B, N, H, D], k: [B, T, H, D] -> [B, N, T] fp32 head-mean softmax.
+    """q: [B, H, N, D] (head-major), k: [B, T, H, D] -> [B, N, T] fp32
+    head-mean softmax.
 
     mesh: the runtime's (data, model) device mesh. Pallas calls are opaque
     to GSPMD (a bare pallas_call under jit gets replicated, all-gathering
@@ -200,15 +206,13 @@ def capture_attention(
     column-parallel to_q/to_k shard the head axis), and the head-mean
     completes with one [B, N, T] psum over 'model' — the only collective.
     """
+    b, h, n, d = q.shape
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import PartitionSpec as P
 
-        b, n, h, d = q.shape
         n_data = mesh.shape.get("data", 1)
         n_model = mesh.shape.get("model", 1)
         if b % n_data == 0 and h % n_model == 0:
-            spec = P("data", None, "model", None)
-
             def local(qs, ks):
                 part = _capture_core(qs, ks, scale, interpret, h)
                 if n_model > 1:
@@ -218,10 +222,13 @@ def capture_attention(
             return jax.shard_map(
                 local,
                 mesh=mesh,
-                in_specs=(spec, spec),
+                in_specs=(
+                    P("data", "model", None, None),
+                    P("data", None, "model", None),
+                ),
                 out_specs=P("data", None, None),
                 # pallas_call out_shapes carry no vma metadata (jax 0.9)
                 check_vma=False,
             )(q, k)
         # uneven batch/heads (e.g. eval view counts): replicated fallback
-    return _capture_core(q, k, scale, interpret, q.shape[2])
+    return _capture_core(q, k, scale, interpret, h)

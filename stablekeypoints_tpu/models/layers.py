@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stablekeypoints_tpu.ops.resize import upsample_bicubic
+from stablekeypoints_tpu.ops.resize import upsample_bicubic_headmajor
 
 __all__ = [
     "timestep_embedding",
@@ -58,34 +58,75 @@ class TimestepEmbedder(nn.Module):
         return x
 
 
-def _group_norm(x: jnp.ndarray, scale, bias, groups: int = 32, eps: float = 1e-5):
-    """GroupNorm in fp32 over NHWC (channels last), cast back to input dtype.
+def _group_norm(
+    x: jnp.ndarray,
+    scale,
+    bias,
+    groups: int = 32,
+    eps: float = 1e-5,
+    act: Optional[str] = None,
+):
+    """GroupNorm (fp32 math) over NHWC, optionally fused with SiLU.
+
+    HBM-bandwidth-shaped: statistics come from fp32-accumulated reductions on
+    the (bf16) input and the normalization is folded into per-(batch,channel)
+    affine coefficients, so the activation tensor is read twice and written
+    once — never materialized in fp32 (the former fp32 upcast dominated the
+    512^2 VAE-encoder stages). `act="silu"` applies SiLU inside the same
+    fused elementwise pass (fp32, then a single downcast).
 
     Channel counts that 32 doesn't divide (tiny test configs) fall back to
     gcd(groups, channels); real SD channel counts are all multiples of 32.
     """
     dtype = x.dtype
-    x = x.astype(jnp.float32)
     b, h, w, c = x.shape
     groups = math.gcd(groups, c)
     xg = x.reshape(b, h * w, groups, c // groups)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(b, h, w, c) * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return x.astype(dtype)
+    mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # [b, g]
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32) - mean[:, None, :, None]), axis=(1, 3)
+    )  # [b, g] — two-pass variance: stable, and XLA fuses the subtract into
+    #    the reduction (no fp32 copy of x)
+    inv = jax.lax.rsqrt(var + eps)
+    inv_c = jnp.repeat(inv, c // groups, axis=1)  # [b, c]
+    mean_c = jnp.repeat(mean, c // groups, axis=1)
+    a = inv_c * scale.astype(jnp.float32)[None]
+    b_coef = bias.astype(jnp.float32)[None] - mean_c * a
+    y = x.astype(jnp.float32) * a[:, None, None, :] + b_coef[:, None, None, :]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(dtype)
 
 
 class GroupNorm(nn.Module):
     groups: int = 32
     eps: float = 1e-5
+    act: Optional[str] = None  # "silu" fuses the following activation
+    # two-pass Pallas kernel (kernels/groupnorm.py) for bandwidth-bound
+    # never-differentiated stages (the VAE): ~3 bf16 HBM passes instead of
+    # XLA's materialized-fp32 lowering
+    fused: bool = False
+    fused_interpret: bool = False
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return _group_norm(x, scale, bias, self.groups, self.eps)
+        if self.fused:
+            from stablekeypoints_tpu.kernels.groupnorm import (
+                fused_group_norm,
+                fused_group_norm_supported,
+            )
+
+            groups = math.gcd(self.groups, c)
+            if fused_group_norm_supported(x.shape[1] * x.shape[2], c, groups):
+                return fused_group_norm(
+                    x, scale, bias, groups, self.eps, self.act,
+                    self.fused_interpret, self.mesh,
+                )
+        return _group_norm(x, scale, bias, self.groups, self.eps, self.act)
 
 
 class ResnetBlock(nn.Module):
@@ -95,20 +136,24 @@ class ResnetBlock(nn.Module):
     use_time_emb: bool = True
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.bfloat16
+    fused_norm: bool = False  # Pallas GroupNorm+SiLU (VAE-only, see GroupNorm)
+    fused_interpret: bool = False
+    mesh: "object" = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        fused = dict(
+            fused=self.fused_norm, fused_interpret=self.fused_interpret, mesh=self.mesh
+        )
         residual = x
-        h = GroupNorm(eps=self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(eps=self.eps, act="silu", name="norm1", **fused)(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
-        h = GroupNorm(eps=self.eps, name="norm2")(h)
-        h = nn.silu(h)
+        h = GroupNorm(eps=self.eps, act="silu", name="norm2", **fused)(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(
@@ -222,9 +267,11 @@ class CrossAttention(nn.Module):
             # 1280-channel layer at 128^2) and its backward; identical math
             # up to fp order.
             s = int(round(math.sqrt(n)))
-            q_sq = q.reshape(b, s, s, inner)
-            q_up = upsample_bicubic(q_sq, capture_res, capture_res)
-            q_up = q_up.reshape(b, capture_res * capture_res, self.heads, self.dim_head)
+            q5 = q.reshape(b, s, s, self.heads, self.dim_head)
+            # head-major [B, H, res^2, D]: the resize matmuls emit the
+            # kernel's layout directly (no strided relayout of the 16384-
+            # query tensor in either direction of the step)
+            q_up = upsample_bicubic_headmajor(q5, capture_res, capture_res)
             if self.pallas_capture:
                 from stablekeypoints_tpu.kernels.attn_capture import capture_attention
 
@@ -233,7 +280,7 @@ class CrossAttention(nn.Module):
                 )
             else:
                 sim_up = jnp.einsum(
-                    "bnhd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
+                    "bhnd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
                 )
                 attn_up = jax.nn.softmax(sim_up * scale, axis=-1)
                 capture = attn_up.mean(axis=1)  # [B, res^2, T], fp32

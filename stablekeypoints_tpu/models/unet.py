@@ -328,7 +328,6 @@ class UNet(nn.Module):
             if truncated:
                 return None, captures
 
-        x = GroupNorm(name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(act="silu", name="conv_norm_out")(x)
         eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return eps.astype(jnp.float32), captures

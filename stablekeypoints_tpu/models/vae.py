@@ -42,12 +42,15 @@ class AttnBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     flash: bool = False  # flash kernel at long seq (4096 at 512^2 inputs)
     mesh: "object" = None  # shard_map the kernel on multi-device meshes
+    fused_gn: bool = False  # Pallas GroupNorm kernel (kernels/groupnorm.py)
+    fused_gn_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         residual = x
-        x = GroupNorm(eps=1e-6, name="norm")(x)
+        x = GroupNorm(eps=1e-6, name="norm", fused=self.fused_gn,
+                      fused_interpret=self.fused_gn_interpret, mesh=self.mesh)(x)
         x = x.reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(x)
@@ -79,28 +82,33 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     flash: bool = False
     mesh: "object" = None
+    fused_gn: bool = False
+    fused_gn_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
+        fused = dict(fused_norm=self.fused_gn,
+                     fused_interpret=self.fused_gn_interpret, mesh=self.mesh)
         x = x.astype(self.dtype)
         x = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
         for b, ch in enumerate(cfg.block_channels):
             for i in range(cfg.layers_per_block):
                 x = ResnetBlock(
                     ch, use_time_emb=False, eps=1e-6, dtype=self.dtype,
-                    name=f"down_{b}_resnets_{i}",
+                    name=f"down_{b}_resnets_{i}", **fused,
                 )(x)
             if b < len(cfg.block_channels) - 1:
                 x = Downsample(
                     ch, asymmetric_pad=True, dtype=self.dtype, name=f"down_{b}_downsample"
                 )(x)
         ch = cfg.block_channels[-1]
-        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0")(x)
-        x = AttnBlock(dtype=self.dtype, flash=self.flash, mesh=self.mesh, name="mid_attn")(x)
-        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1")(x)
-        x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0", **fused)(x)
+        x = AttnBlock(dtype=self.dtype, flash=self.flash, mesh=self.mesh, fused_gn=self.fused_gn, fused_gn_interpret=self.fused_gn_interpret, name="mid_attn")(x)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1", **fused)(x)
+        x = GroupNorm(eps=1e-6, act="silu", name="conv_norm_out",
+                      fused=self.fused_gn,
+                      fused_interpret=self.fused_gn_interpret, mesh=self.mesh)(x)
         moments = nn.Conv(
             cfg.latent_channels * 2, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
         )(x)
@@ -115,27 +123,32 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     flash: bool = False
     mesh: "object" = None
+    fused_gn: bool = False
+    fused_gn_interpret: bool = False
 
     @nn.compact
     def __call__(self, z):
         cfg = self.config
+        fused = dict(fused_norm=self.fused_gn,
+                     fused_interpret=self.fused_gn_interpret, mesh=self.mesh)
         z = z.astype(self.dtype)
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")(z)
         ch = cfg.block_channels[-1]
         x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(z)
-        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0")(x)
-        x = AttnBlock(dtype=self.dtype, flash=self.flash, mesh=self.mesh, name="mid_attn")(x)
-        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1")(x)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0", **fused)(x)
+        x = AttnBlock(dtype=self.dtype, flash=self.flash, mesh=self.mesh, fused_gn=self.fused_gn, fused_gn_interpret=self.fused_gn_interpret, name="mid_attn")(x)
+        x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_1", **fused)(x)
         for b, ch in enumerate(reversed(cfg.block_channels)):
             for i in range(cfg.layers_per_block + 1):
                 x = ResnetBlock(
                     ch, use_time_emb=False, eps=1e-6, dtype=self.dtype,
-                    name=f"up_{b}_resnets_{i}",
+                    name=f"up_{b}_resnets_{i}", **fused,
                 )(x)
             if b < len(cfg.block_channels) - 1:
                 x = Upsample(ch, dtype=self.dtype, name=f"up_{b}_upsample")(x)
-        x = GroupNorm(eps=1e-6, name="conv_norm_out")(x)
-        x = nn.silu(x)
+        x = GroupNorm(eps=1e-6, act="silu", name="conv_norm_out",
+                      fused=self.fused_gn,
+                      fused_interpret=self.fused_gn_interpret, mesh=self.mesh)(x)
         x = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32)
 
@@ -148,10 +161,18 @@ class VAE(nn.Module):
 
     flash: bool = False
     mesh: "object" = None
+    fused_gn: bool = False
+    fused_gn_interpret: bool = False
 
     def setup(self):
-        self.encoder = Encoder(self.config, self.dtype, self.flash, self.mesh)
-        self.decoder = Decoder(self.config, self.dtype, self.flash, self.mesh)
+        self.encoder = Encoder(
+            self.config, self.dtype, self.flash, self.mesh,
+            self.fused_gn, self.fused_gn_interpret,
+        )
+        self.decoder = Decoder(
+            self.config, self.dtype, self.flash, self.mesh,
+            self.fused_gn, self.fused_gn_interpret,
+        )
 
     def encode_mean(self, images: jnp.ndarray) -> jnp.ndarray:
         """images in [-1, 1], NHWC -> scaled latent mean [B, H/8, W/8, 4]."""

@@ -89,5 +89,22 @@ def upsample_bicubic(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return resize_nhwc(x, out_h, out_w, "bicubic")
 
 
+def upsample_bicubic_headmajor(x5: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """[b, y, x, k, d] -> [b, k, out_h*out_w, d] bicubic over (y, x).
+
+    Same taps/weights/contraction order as `upsample_bicubic` (row pass then
+    column pass), but the output is emitted head-major so the capture kernel
+    consumes it directly — the resize matmuls absorb what would otherwise be
+    a strided [B, N, H, D] -> [B, H, N, D] relayout of the upsampled queries
+    (d=40-element chunks, the slowest transpose shape on TPU).
+    """
+    b, h, w, k, d = x5.shape
+    wh = resize_matrix(h, out_h, "bicubic").astype(x5.dtype)
+    ww = resize_matrix(w, out_w, "bicubic").astype(x5.dtype)
+    t = jnp.einsum("Oy,byxkd->bkOxd", wh, x5)
+    t = jnp.einsum("Px,bkOxd->bkOPd", ww, t)
+    return t.reshape(b, k, out_h * out_w, d)
+
+
 def upsample_bilinear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return resize_nhwc(x, out_h, out_w, "bilinear")

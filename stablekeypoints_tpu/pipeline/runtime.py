@@ -80,6 +80,9 @@ class Runtime:
     vae_params: dict
     schedule: DDIMSchedule
     mesh: jax.sharding.Mesh
+    # VAE without the Pallas GroupNorm kernel, for code that runs inside
+    # lax.map/while bodies (see Runtime.create)
+    vae_loop: VAE = None
 
     @staticmethod
     def create(
@@ -122,7 +125,20 @@ class Runtime:
         # meshes (they are opaque to GSPMD's partitioner)
         kernel_mesh = mesh if mesh.devices.size > 1 else None
         unet = UNet(unet_config, dtype=dtype, mesh=kernel_mesh)
-        vae = VAE(vae_config, dtype=dtype, flash=use_flash, mesh=kernel_mesh)
+        # fused GroupNorm+SiLU kernel in the (never-differentiated) VAE:
+        # on for TPU meshes, interpret-mode when forced onto a CPU mesh
+        use_fused_gn = cfg.fused_groupnorm == "on" or (
+            cfg.fused_groupnorm == "auto" and mesh_platform == "tpu"
+        )
+        vae = VAE(
+            vae_config, dtype=dtype, flash=use_flash, mesh=kernel_mesh,
+            fused_gn=use_fused_gn, fused_gn_interpret=mesh_platform != "tpu",
+        )
+        # the eval ensemble chunks views through lax.map; XLA wraps custom
+        # calls inside while bodies in layout copies that make the adjacent
+        # convs ~13x slower (measured), so the in-loop VAE keeps the jnp
+        # GroupNorm (same params, same math)
+        vae_loop = VAE(vae_config, dtype=dtype, flash=use_flash, mesh=kernel_mesh)
         if cfg.model_path:
             unet_params = W.load_unet_params(cfg.model_path, unet_config, dtype)
             vae_params = W.load_vae_params(cfg.model_path, vae_config, dtype)
@@ -148,18 +164,20 @@ class Runtime:
             cfg, unet, vae,
             unet_params,
             jax.device_put(vae_params, pmesh.replicated(mesh)),
-            DDIMSchedule.create(), mesh,
+            DDIMSchedule.create(), mesh, vae_loop,
         )
         return rt
 
     # ------------------------------------------------------------------
     # core computations (pure; jitted wrappers below)
 
-    def _encode(self, vae_params, images: jnp.ndarray) -> jnp.ndarray:
+    def _encode(self, vae_params, images: jnp.ndarray, in_loop: bool = False) -> jnp.ndarray:
         """Posterior-mean latents (deterministic per image; image2latent,
-        ptp_utils.py:289-304). Cacheable: add_noise happens downstream."""
+        ptp_utils.py:289-304). Cacheable: add_noise happens downstream.
+        in_loop: called from inside a lax.map body — use the kernel-free VAE."""
+        vae = self.vae_loop if (in_loop and self.vae_loop is not None) else self.vae
         return jax.lax.stop_gradient(
-            self.vae.apply(
+            vae.apply(
                 {"params": vae_params}, images * 2.0 - 1.0, method=VAE.encode_mean
             )
         )
@@ -175,10 +193,11 @@ class Runtime:
         indices: Optional[jnp.ndarray],
         truncate: bool,
         latents: Optional[jnp.ndarray] = None,  # precomputed [B, h, w, 4]
+        in_loop: bool = False,
     ) -> jnp.ndarray:
         cfg = self.cfg
         if latents is None:
-            latents = self._encode(vae_params, images)
+            latents = self._encode(vae_params, images, in_loop=in_loop)
         noise = jax.random.normal(key, latents.shape, jnp.float32)
         t = self.schedule.timestep_at(cfg.noise_level)
         noisy = self.schedule.add_noise(latents, noise, t)
@@ -415,7 +434,8 @@ class Runtime:
             the view-count mask (the all-ones mask rides as an extra NHWC
             channel); the static params bound routes it onto the MXU path."""
             maps = self._attn_maps(
-                unet_params, vae_params, imgs_c, context, key_c, ens, indices, True
+                unet_params, vae_params, imgs_c, context, key_c, ens, indices, True,
+                in_loop=True,
             )  # [*, k, E, E]
             kk = maps.shape[1]
             stacked = jnp.concatenate(

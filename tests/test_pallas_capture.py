@@ -13,7 +13,7 @@ from stablekeypoints_tpu.kernels.attn_capture import (
 
 def _make(b=1, n=256, h=4, d=32, t=37, seed=0):
     kq, kk = jax.random.split(jax.random.PRNGKey(seed))
-    q = jax.random.normal(kq, (b, n, h, d), jnp.float32)
+    q = jax.random.normal(kq, (b, h, n, d), jnp.float32)  # head-major
     k = jax.random.normal(kk, (b, t, h, d), jnp.float32)
     return q, k
 
@@ -74,7 +74,7 @@ def test_capture_attention_shard_map_matches_replicated():
 
     rng = np.random.default_rng(0)
     b, n, h, d, t = 8, 64, 4, 16, 20
-    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)  # head-major
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     mesh = pmesh.make_mesh(4, 2)
     a = np.asarray(capture_attention(q, k, 0.25, True))
@@ -94,7 +94,7 @@ def test_capture_attention_shard_map_gradients():
 
     rng = np.random.default_rng(1)
     b, n, h, d, t = 8, 64, 4, 16, 20
-    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)  # head-major
     k = jnp.asarray(rng.standard_normal((b, t, h, d)), jnp.float32)
     cot = jnp.asarray(rng.standard_normal((b, n, t)), jnp.float32)
     mesh = pmesh.make_mesh(4, 2)

@@ -46,3 +46,22 @@ def test_resize_matrix_rows_sum_to_one():
     for m in ("bilinear", "bicubic"):
         w = np.asarray(resize.resize_matrix(16, 128, m))
         np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-6)
+
+
+def test_upsample_bicubic_headmajor_matches_nhwc():
+    """Head-major emission is the same resample, different output layout."""
+    import jax.numpy as jnp
+    import numpy as np
+    from stablekeypoints_tpu.ops.resize import (
+        upsample_bicubic,
+        upsample_bicubic_headmajor,
+    )
+
+    rng = np.random.default_rng(0)
+    b, s, h, d, r = 2, 8, 3, 5, 24
+    x5 = jnp.asarray(rng.standard_normal((b, s, s, h, d)), jnp.float32)
+    hm = np.asarray(upsample_bicubic_headmajor(x5, r, r))  # [b, h, r*r, d]
+    ref = np.asarray(
+        upsample_bicubic(x5.reshape(b, s, s, h * d), r, r)
+    ).reshape(b, r * r, h, d).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(hm, ref, atol=1e-5)

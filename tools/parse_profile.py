@@ -1,0 +1,46 @@
+"""Parse an xplane profile dir: print top ops by total self time.
+
+Usage: python tools/parse_profile.py [logdir] [top]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+
+
+def main():
+    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skt_profile"
+    top = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    from xprof.convert import raw_to_tool_data as rtd
+
+    paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
+    data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
+    if isinstance(data, bytes):
+        data = data.decode()
+    # gviz DataTable JSON: {"cols":[...], "rows":[{"c":[{"v":...},...]},...]}
+    obj = json.loads(data)
+    if isinstance(obj, list):  # [table, totals] pair in newer xprof
+        obj = obj[0]
+    cols = [c.get("label") or c.get("id") for c in obj["cols"]]
+    rows = [[(cell or {}).get("v") for cell in r["c"]] for r in obj["rows"]]
+    i_name = cols.index("Operation Name")
+    i_self = next(i for i, c in enumerate(cols) if "self" in c.lower() and "time" in c.lower())
+    i_occ = next((i for i, c in enumerate(cols) if "occurrence" in c.lower()), None)
+    agg = {}
+    for r in rows:
+        name = r[i_name]
+        # collapse per-layer instances: strip trailing layer indices
+        key = name
+        agg.setdefault(key, [0.0, 0])
+        agg[key][0] += float(r[i_self] or 0)
+        agg[key][1] += int(r[i_occ] or 0) if i_occ is not None else 0
+    total = sum(v[0] for v in agg.values())
+    print(f"total self time: {total/1000:.3f} ms over {len(rows)} op rows; cols={cols}")
+    for name, (t, occ) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]:
+        print(f"{t/1000:9.3f} ms {100*t/total:5.1f}%  x{occ:<4d} {name}")
+
+
+if __name__ == "__main__":
+    main()
