@@ -9,8 +9,10 @@ in two bf16 passes:
                   fp32 accumulated across spatial tiles in VMEM.
   glue (jnp)    : tiny [B, C] math — group mean/var, rsqrt, folded into
                   per-(batch, channel) affine coefficients.
-  pass 2 (apply): one read + one write — y = silu(x * a + b), fp32 math,
-                  single downcast.
+  apply (jnp)   : one read + one write — y = silu(x * a + b) as a single
+                  XLA elementwise fusion whose output layout the consumer
+                  conv controls (a pallas apply pinned the layout and
+                  doubled the adjacent convs' time).
 
 Variance uses the shifted sum-of-squares identity: the first spatial tile's
 per-channel mean is used as a shift, so the accumulated sums are centered
@@ -64,13 +66,6 @@ def _stats_kernel(x_ref, out_ref):
     out_ref[0, 1] += jnp.sum(xc * xc, axis=0)
 
 
-def _apply_kernel(x_ref, a_ref, b_ref, o_ref, *, act: str):
-    y = x_ref[0].astype(jnp.float32) * a_ref[0, 0] + b_ref[0, 0]
-    if act == "silu":
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
-
-
 def _fused_impl(x, scale, bias, groups, eps, act, interpret):
     b, h, w, c = x.shape
     hw = h * w
@@ -105,19 +100,14 @@ def _fused_impl(x, scale, bias, groups, eps, act, interpret):
     a = inv_c * scale.astype(jnp.float32)[None]
     bc = bias.astype(jnp.float32)[None] - mean_c * a
 
-    y = pl.pallas_call(
-        functools.partial(_apply_kernel, act=act),
-        grid=(b, hw // ts),
-        in_specs=[
-            pl.BlockSpec((1, ts, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ts, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
-        interpret=interpret,
-    )(xf, a[:, None], bc[:, None])
-    return y.reshape(b, h, w, c)
+    # the APPLY stays in jnp: XLA fuses convert*a+b(+silu)+downcast into one
+    # elementwise pass, and — unlike a custom-call result — that fusion's
+    # output can adopt the consumer conv's preferred layout (a pallas apply
+    # measurably doubled the adjacent VAE convs' time)
+    y = x.astype(jnp.float32) * a[:, None, None, :] + bc[:, None, None, :]
+    if act == "silu":
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

@@ -129,6 +129,38 @@ class GroupNorm(nn.Module):
         return _group_norm(x, scale, bias, self.groups, self.eps, self.act)
 
 
+class Conv3x3Split(nn.Module):
+    """nn.Conv(3x3)-compatible conv that folds H-slabs into the batch axis
+    at small-batch x large-spatial shapes (ops/convsplit.py; bit-exact, ~7x
+    on the batch-1 1024^2 VAE shapes). Same param tree as nn.Conv, so
+    checkpoint conversion is unchanged; identical to nn.Conv when the auto
+    gate picks parts=1."""
+
+    out_channels: int
+    stride: int = 1
+    asymmetric_pad: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from stablekeypoints_tpu.ops.convsplit import conv3x3_spatial_split
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.out_channels),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32
+        )
+        pad = (0, 1) if self.asymmetric_pad else (1, 1)
+        y = conv3x3_spatial_split(
+            x.astype(self.dtype), kernel.astype(self.dtype), self.stride, pad, pad,
+            preferred_element_type=None,  # nn.Conv semantics: accumulate per
+        )  # XLA's bf16-conv default (f32 internally), emit in compute dtype
+        return y.astype(self.dtype) + bias.astype(self.dtype)
+
+
 class ResnetBlock(nn.Module):
     """GN -> SiLU -> conv -> (+time) -> GN -> SiLU -> conv, residual add."""
 
@@ -139,22 +171,29 @@ class ResnetBlock(nn.Module):
     fused_norm: bool = False  # Pallas GroupNorm+SiLU (VAE-only, see GroupNorm)
     fused_interpret: bool = False
     mesh: "object" = None
+    split_conv: bool = False  # Conv3x3Split instead of nn.Conv (VAE-only)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         fused = dict(
             fused=self.fused_norm, fused_interpret=self.fused_interpret, mesh=self.mesh
         )
+        if self.split_conv:
+            conv3 = lambda name: Conv3x3Split(self.out_channels, dtype=self.dtype, name=name)
+        else:
+            conv3 = lambda name: nn.Conv(
+                self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=name
+            )
         residual = x
         h = GroupNorm(eps=self.eps, act="silu", name="norm1", **fused)(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        h = conv3("conv1")(h)
         if self.use_time_emb:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(
                 nn.silu(temb)
             )
             h = h + t[:, None, None, :]
         h = GroupNorm(eps=self.eps, act="silu", name="norm2", **fused)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = conv3("conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = nn.Conv(
                 self.out_channels, (1, 1), dtype=self.dtype, name="conv_shortcut"
@@ -168,9 +207,15 @@ class Downsample(nn.Module):
     out_channels: int
     asymmetric_pad: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    split_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.split_conv:
+            return Conv3x3Split(
+                self.out_channels, stride=2, asymmetric_pad=self.asymmetric_pad,
+                dtype=self.dtype, name="conv",
+            )(x)
         pad = ((0, 1), (0, 1)) if self.asymmetric_pad else ((1, 1), (1, 1))
         return nn.Conv(
             self.out_channels, (3, 3), strides=2, padding=pad, dtype=self.dtype, name="conv"
@@ -182,11 +227,14 @@ class Upsample(nn.Module):
 
     out_channels: int
     dtype: jnp.dtype = jnp.bfloat16
+    split_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.split_conv:
+            return Conv3x3Split(self.out_channels, dtype=self.dtype, name="conv")(x)
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv")(x)
 
 

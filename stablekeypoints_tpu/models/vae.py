@@ -14,7 +14,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stablekeypoints_tpu.models.layers import Downsample, GroupNorm, ResnetBlock, Upsample
+from stablekeypoints_tpu.models.layers import (
+    Conv3x3Split,
+    Downsample,
+    GroupNorm,
+    ResnetBlock,
+    Upsample,
+)
 
 __all__ = ["VAEConfig", "Encoder", "Decoder", "VAE", "SD_VAE_CONFIG", "SCALING_FACTOR"]
 
@@ -89,9 +95,10 @@ class Encoder(nn.Module):
     def __call__(self, x):
         cfg = self.config
         fused = dict(fused_norm=self.fused_gn,
-                     fused_interpret=self.fused_gn_interpret, mesh=self.mesh)
+                     fused_interpret=self.fused_gn_interpret, mesh=self.mesh,
+                     split_conv=True)
         x = x.astype(self.dtype)
-        x = nn.Conv(cfg.block_channels[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        x = Conv3x3Split(cfg.block_channels[0], dtype=self.dtype, name="conv_in")(x)
         for b, ch in enumerate(cfg.block_channels):
             for i in range(cfg.layers_per_block):
                 x = ResnetBlock(
@@ -100,7 +107,8 @@ class Encoder(nn.Module):
                 )(x)
             if b < len(cfg.block_channels) - 1:
                 x = Downsample(
-                    ch, asymmetric_pad=True, dtype=self.dtype, name=f"down_{b}_downsample"
+                    ch, asymmetric_pad=True, dtype=self.dtype, split_conv=True,
+                    name=f"down_{b}_downsample",
                 )(x)
         ch = cfg.block_channels[-1]
         x = ResnetBlock(ch, use_time_emb=False, eps=1e-6, dtype=self.dtype, name="mid_resnets_0", **fused)(x)
@@ -130,7 +138,8 @@ class Decoder(nn.Module):
     def __call__(self, z):
         cfg = self.config
         fused = dict(fused_norm=self.fused_gn,
-                     fused_interpret=self.fused_gn_interpret, mesh=self.mesh)
+                     fused_interpret=self.fused_gn_interpret, mesh=self.mesh,
+                     split_conv=True)
         z = z.astype(self.dtype)
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")(z)
         ch = cfg.block_channels[-1]
@@ -145,11 +154,11 @@ class Decoder(nn.Module):
                     name=f"up_{b}_resnets_{i}", **fused,
                 )(x)
             if b < len(cfg.block_channels) - 1:
-                x = Upsample(ch, dtype=self.dtype, name=f"up_{b}_upsample")(x)
+                x = Upsample(ch, dtype=self.dtype, split_conv=True, name=f"up_{b}_upsample")(x)
         x = GroupNorm(eps=1e-6, act="silu", name="conv_norm_out",
                       fused=self.fused_gn,
                       fused_interpret=self.fused_gn_interpret, mesh=self.mesh)(x)
-        x = nn.Conv(cfg.in_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(x)
+        x = Conv3x3Split(cfg.in_channels, dtype=self.dtype, name="conv_out")(x)
         return x.astype(jnp.float32)
 
 

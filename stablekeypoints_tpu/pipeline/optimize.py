@@ -82,6 +82,9 @@ def optimize_embedding(
     # fresh). Gated on the adapter having no per-access randomness.
     from stablekeypoints_tpu.data.base import is_deterministic
 
+    # (small-batch encodes stay fast because the VAE folds H-slabs into the
+    # conv batch axis — ops/convsplit.py — so the cache-hit batch-1 encode
+    # is not the XLA batch-1 conv pathology it would otherwise be)
     lat_cache: dict[int, np.ndarray] | None = (
         {} if cfg.cache_latents and is_deterministic(dataset) else None
     )
