@@ -78,13 +78,15 @@ class Config:
     pallas_capture: str = "auto"  # auto|on|off: fused capture-attention kernel
     flash_attention: str = "auto"  # auto|on|off: flash kernel for long self-attn
     fused_groupnorm: str = "auto"  # auto|on|off: fused VAE GroupNorm+SiLU kernel
-    # rematerialization of transformer blocks in the backward. auto = off at
-    # the reference workload shape (flash attention removed the seq^2
-    # activation tensors, so storing activations fits HBM and skips the full
-    # forward recompute: measured +12% step rate); on for larger-than-
-    # reference shapes (1024^2 images or >8 merged images per device)
+    # rematerialization of transformer blocks in the backward. auto = off
+    # while the activation footprint (per-device merged batch x image area)
+    # fits HBM — flash attention removed the seq^2 tensors, so storing
+    # activations skips the backward's forward recompute (+12% SD1.5, +14%
+    # SDXL measured); on above ~8 batch-at-512^2 units
     remat: str = "auto"  # auto|on|off
-    eval_batch_images: int = 1  # test images folded into one sharded batch
+    # test images folded into one sharded batch in stages 3/5 (detect_batch);
+    # HBM stays bounded regardless via eval_views_per_pass chunking
+    eval_batch_images: int = 4
     # max augmented views per forward pass in the test-time ensemble: more
     # images per call chunk through the UNet sequentially (lax.map) so HBM
     # stays bounded while per-call overheads amortize

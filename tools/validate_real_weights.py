@@ -1,0 +1,163 @@
+"""North-star validation harness: run when a real SD-1.5 checkpoint lands.
+
+This container has zero egress, so the two headline numbers — CelebA metric
+parity within 2% and the 500-step speed target — cannot be *measured* yet.
+This script makes the measurement a single command the moment a diffusers-
+layout checkpoint (and optionally the CelebA/MAFL files) are on disk:
+
+  python tools/validate_real_weights.py --model_path /ckpts/sd15 \
+      [--dataset_loc /data/celeba] [--steps 500] [--skip_diffusers]
+
+Phases (each skipped gracefully when its inputs are absent):
+
+  1. conversion parity — if `diffusers` + torch weights import, run the
+     torch UNet/VAE on fixed inputs and assert the converted Flax forward
+     agrees (the offline fabricated-checkpoint version of this check lives
+     in tests/test_conversion_numeric.py).
+  2. capture sanity — one capture forward on a real photo: softmax maps
+     must be non-degenerate (entropy well below uniform, above zero).
+  3. end-to-end CelebA — stages 1-5 via the public CLI path on the MAFL
+     split; prints mean inter-eye-normalized distance. Paper reference
+     (arXiv 2312.00065, Table 1): 2.44 (aligned) / 5.24 (wild) x100.
+     Parity target: within 2%.
+
+Citations: reference pipeline entry main.py:197-307; metric eval.py:466-472.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def phase_conversion_parity(model_path: str, image_size: int) -> bool:
+    try:
+        import torch
+        from diffusers import AutoencoderKL, UNet2DConditionModel  # type: ignore
+    except Exception as e:
+        print(f"[1/3] diffusers not importable ({e}); skipping torch A/B")
+        return False
+    import jax.numpy as jnp
+
+    from stablekeypoints_tpu.models.unet import SD15_CONFIG, UNet
+    from stablekeypoints_tpu.models.vae import SD_VAE_CONFIG, VAE
+    from stablekeypoints_tpu.models import weights as W
+
+    rng = np.random.default_rng(0)
+    lat = rng.standard_normal((1, image_size // 8, image_size // 8, 4)).astype(np.float32)
+    ctx = rng.standard_normal((1, 77, 768)).astype(np.float32)
+
+    tunet = UNet2DConditionModel.from_pretrained(model_path, subfolder="unet").eval()
+    with torch.no_grad():
+        t_out = tunet(
+            torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+            torch.tensor([1]),
+            torch.from_numpy(ctx),
+        ).sample.numpy().transpose(0, 2, 3, 1)
+
+    params = W.load_unet_params(model_path, SD15_CONFIG, jnp.float32)
+    unet = UNet(SD15_CONFIG, dtype=jnp.float32)
+    eps, _ = unet.apply(
+        {"params": params}, jnp.asarray(lat), jnp.array([1]), jnp.asarray(ctx)
+    )
+    err = float(np.max(np.abs(np.asarray(eps) - t_out)))
+    print(f"[1/3] UNet eps max|Δ| vs diffusers: {err:.2e} (want < 5e-2 bf16 / 5e-4 fp32)")
+
+    tvae = AutoencoderKL.from_pretrained(model_path, subfolder="vae").eval()
+    img = rng.uniform(-1, 1, (1, image_size, image_size, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_lat = (
+            tvae.encode(torch.from_numpy(img.transpose(0, 3, 1, 2))).latent_dist.mean
+            * 0.18215
+        ).numpy().transpose(0, 2, 3, 1)
+    vae_params = W.load_vae_params(model_path, SD_VAE_CONFIG, jnp.float32)
+    vae = VAE(SD_VAE_CONFIG, dtype=jnp.float32)
+    j_lat = vae.apply({"params": vae_params}, jnp.asarray(img), method=VAE.encode_mean)
+    verr = float(np.max(np.abs(np.asarray(j_lat) - t_lat)))
+    print(f"[1/3] VAE latent-mean max|Δ|: {verr:.2e}")
+    return err < 5e-2 and verr < 5e-2
+
+
+def phase_capture_sanity(model_path: str, image_size: int) -> None:
+    import jax
+
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    cfg = Config(dataset_name="synthetic", model_path=model_path, image_size=image_size)
+    rt = Runtime.create(cfg)
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, image_size, image_size, 3)).astype(np.float32)
+    ctx = rt.init_context()
+    maps = np.asarray(
+        rt.attn_maps_fn(ctx, img, jax.random.PRNGKey(0))
+    )  # [1, T, R, R]
+    p = maps[0].reshape(maps.shape[1], -1)
+    p = p / p.sum(-1, keepdims=True)
+    ent = -(p * np.log(p + 1e-12)).sum(-1).mean()
+    uniform = np.log(p.shape[-1])
+    print(
+        f"[2/3] capture maps: mean entropy {ent:.2f} vs uniform {uniform:.2f} "
+        f"({'non-degenerate OK' if 0.05 * uniform < ent < 0.98 * uniform else 'DEGENERATE — check weights'})"
+    )
+
+
+def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> None:
+    from stablekeypoints_tpu.config import Config, apply_preset
+    from stablekeypoints_tpu import main as cli
+
+    name = "celeba_wild" if wild else "celeba_aligned"
+    cfg = apply_preset(
+        Config(
+            dataset_name=name,
+            dataset_loc=dataset_loc,
+            model_path=model_path,
+            num_steps=steps,
+            save_folder=f"outputs/real_{name}",
+        )
+    )
+    t0 = time.time()
+    result = cli.run(cfg)
+    dt = time.time() - t0
+    md = result.get("mean_distance")
+    print(
+        json.dumps(
+            {
+                "phase": "celeba",
+                "dataset": name,
+                "mean_distance_x100": None if md is None else 100 * md,
+                "paper_x100": 5.24 if wild else 2.44,
+                "wall_s": round(dt, 1),
+            }
+        )
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--dataset_loc", default=None)
+    ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--image_size", type=int, default=512)
+    ap.add_argument("--wild", action="store_true")
+    ap.add_argument("--skip_diffusers", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_diffusers:
+        phase_conversion_parity(args.model_path, args.image_size)
+    phase_capture_sanity(args.model_path, args.image_size)
+    if args.dataset_loc:
+        phase_celeba(args.model_path, args.dataset_loc, args.steps, args.wild)
+    else:
+        print("[3/3] no --dataset_loc; skipping CelebA metric run")
+
+
+if __name__ == "__main__":
+    main()
