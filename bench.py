@@ -57,6 +57,7 @@ def main():
         batch_size=batch,
         dtype="bfloat16",
         remat=os.environ.get("BENCH_REMAT", "auto"),  # ablation knob
+        fused_groupnorm=os.environ.get("BENCH_FUSED_GN", "auto"),  # ablation knob
     )
     runtime = Runtime.create(cfg)
 
