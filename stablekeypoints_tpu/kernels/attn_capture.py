@@ -86,8 +86,10 @@ def _bwd_kernel(
     t1 = g * p
     dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
     dsim = jnp.where(valid, dsim, 0.0)
-    # matmuls in the input dtype (bf16 -> MXU), fp32 accumulation; matches
-    # the precision of the XLA einsum fallback's backward
+    # matmuls in the input dtype (bf16 -> MXU), fp32 accumulation. One
+    # extra bf16 rounding of dsim vs the XLA einsum fallback (which
+    # contracts dsim in fp32); ~1-ulp-relative gradient noise on the
+    # learned context, far below the per-step fresh-noise variance
     dsim = dsim.astype(kh.dtype)
 
     dq_ref[0, 0] = jax.lax.dot_general(

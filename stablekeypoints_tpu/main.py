@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_capture", type=str, default=d.pallas_capture,
                    choices=["auto", "on", "off"],
                    help="fused Pallas capture-attention kernel")
+    p.add_argument("--fused_groupnorm", type=str, default=d.fused_groupnorm,
+                   choices=["auto", "on", "off"],
+                   help="fused Pallas VAE GroupNorm+SiLU kernel")
     p.add_argument("--flash_attention", type=str, default=d.flash_attention,
                    choices=["auto", "on", "off"],
                    help="Pallas flash kernel for long self-attention")

@@ -121,7 +121,9 @@ class GroupNorm(nn.Module):
             )
 
             groups = math.gcd(self.groups, c)
-            if fused_group_norm_supported(x.shape[1] * x.shape[2], c, groups):
+            if fused_group_norm_supported(
+                x.shape[1] * x.shape[2], c, groups, self.fused_interpret
+            ):
                 return fused_group_norm(
                     x, scale, bias, groups, self.eps, self.act,
                     self.fused_interpret, self.mesh,

@@ -434,13 +434,15 @@ class Runtime:
 
         from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
 
-        def views_to_warped(imgs_c, thetas_c, key_c):
+        def views_to_warped(imgs_c, thetas_c, key_c, in_loop):
             """views -> inverse-warped [*, k+1, E, E]: one warp for maps AND
             the view-count mask (the all-ones mask rides as an extra NHWC
-            channel); the static params bound routes it onto the MXU path."""
+            channel); the static params bound routes it onto the MXU path.
+            in_loop: True only when called from the lax.map body — the
+            kernel-free VAE is a while-body workaround, not a default."""
             maps = self._attn_maps(
                 unet_params, vae_params, imgs_c, context, key_c, ens, indices, True,
-                in_loop=True,
+                in_loop=in_loop,
             )  # [*, k, E, E]
             kk = maps.shape[1]
             stacked = jnp.concatenate(
@@ -458,11 +460,11 @@ class Runtime:
             v,
         )
         if chunk == v:
-            warped = views_to_warped(imgs_t, thetas, k_noise)
+            warped = views_to_warped(imgs_t, thetas, k_noise, False)
         else:
             nc = v // chunk
             warped = jax.lax.map(
-                lambda args: views_to_warped(*args),
+                lambda args: views_to_warped(*args, True),
                 (
                     imgs_t.reshape(nc, chunk, *imgs_t.shape[1:]),
                     thetas.reshape(nc, chunk, 2, 3),

@@ -104,3 +104,26 @@ def test_capture_attention_shard_map_gradients():
         jax.grad(lambda k: jnp.sum(capture_attention(q, k, 0.25, True, mesh=mesh) * cot))
     )(k)
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g_smap), atol=1e-5)
+
+
+def test_backward_bf16_close_to_reference():
+    """bf16 backward (MXU-dtype matmuls) vs fp32 reference: the one extra
+    bf16 rounding of dsim must stay at ulp scale."""
+    q, k = _make(b=1, n=128, h=2, d=16, t=45)
+    qb, kb = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
+    scale = 0.25
+    cot = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 45), jnp.float32)
+
+    gq_ref, gk_ref = jax.grad(
+        lambda q, k: jnp.sum(capture_attention_reference(q, k, scale) * cot),
+        argnums=(0, 1),
+    )(q, k)
+    gq, gk = jax.grad(
+        lambda q, k: jnp.sum(capture_attention(q, k, scale, True) * cot),
+        argnums=(0, 1),
+    )(qb, kb)
+    for a, b in ((gq, gq_ref), (gk, gk_ref)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max()
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-2)

@@ -10,12 +10,15 @@ import json
 import sys
 
 
-def main():
-    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skt_profile"
-    top = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+def summarize(logdir: str, top: int = 40) -> None:
+    """Aggregate TPU op self-times from an xplane dir (shared by
+    profile_step.py)."""
     from xprof.convert import raw_to_tool_data as rtd
 
     paths = sorted(glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        print("no xplane found under", logdir)
+        return
     data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
@@ -40,6 +43,12 @@ def main():
     print(f"total self time: {total/1000:.3f} ms over {len(rows)} op rows; cols={cols}")
     for name, (t, occ) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:top]:
         print(f"{t/1000:9.3f} ms {100*t/total:5.1f}%  x{occ:<4d} {name}")
+
+
+def main():
+    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/skt_profile"
+    top = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    summarize(logdir, top)
 
 
 if __name__ == "__main__":

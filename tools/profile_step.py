@@ -10,7 +10,6 @@ Usage: python tools/profile_step.py [--steps 5] [--top 40]
 from __future__ import annotations
 
 import argparse
-import glob
 import os
 import sys
 
@@ -31,25 +30,11 @@ from stablekeypoints_tpu.pipeline.runtime import Runtime
 
 
 def summarize_xplane(logdir: str, top: int) -> None:
-    """Parse the .xplane.pb trace: aggregate TPU op self-times."""
-    from tensorflow.python.profiler.internal import _pywrap_profiler_plugin  # noqa: F401
-    from xprof.convert import raw_to_tool_data as rtd
+    """Delegates to tools/parse_profile.py (single xplane parser)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from parse_profile import summarize
 
-    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True))
-    if not paths:
-        print("no xplane found under", logdir)
-        return
-    params = {"graph_viewer_options": {}, "tqx": "out:csv;"}
-    try:
-        data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", params)
-        if isinstance(data, bytes):
-            data = data.decode()
-        lines = data.splitlines()
-        print("\n".join(lines[: top + 1]))
-    except Exception as e:  # tool-name/API drift across xprof versions
-        print("framework_op_stats failed:", e)
-        data, _ = rtd.xspace_to_tool_data(paths, "op_profile", {})
-        print(str(data)[:4000])
+    summarize(logdir, top)
 
 
 def main():
