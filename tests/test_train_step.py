@@ -246,3 +246,26 @@ def test_ensemble_view_chunking_is_exact(monkeypatch):
         finally:
             monkeypatch.setattr(_jax.random, "normal", real_normal)
     np.testing.assert_allclose(out[1000], out[4], atol=1e-5)
+
+
+def test_remat_auto_policy():
+    """Lock the measured auto-remat decisions: off while the activation
+    footprint (per-device merged batch x image area) fits HBM (SD1.5
+    batch4@512^2, SDXL batch1@1024^2), on above ~8 units."""
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.models.unet import tiny_unet_config
+    from stablekeypoints_tpu.models.vae import tiny_vae_config
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    def remat_for(batch, size):
+        cfg = Config(
+            dataset_name="synthetic", batch_size=batch, image_size=size,
+            data_parallel=1,  # policy is per-device; pin a 1-chip mesh
+        )
+        rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config())
+        return rt.unet.config.remat
+
+    assert remat_for(4, 512) is False  # reference workload: store activations
+    assert remat_for(1, 1024) is False  # SDXL headline: 2*1*4 = 8 units
+    assert remat_for(2, 1024) is True  # 2*2*4 = 16 units: recompute
+    assert remat_for(16, 512) is True  # 32 units at 512^2
