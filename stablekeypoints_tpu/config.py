@@ -76,6 +76,10 @@ class Config:
     data_parallel: int = -1  # -1 = all available devices
     truncate_unet: bool = True  # stop the forward after the last captured map
     pallas_capture: str = "auto"  # auto|on|off: fused capture-attention kernel
+    # strict kernel/fallback gradient parity: keep the capture backward's
+    # dsim contraction in fp32 (one rounding, matching the einsum fallback)
+    # instead of the default bf16 MXU-rate matmuls (~1-ulp gradient noise)
+    capture_fp32_bwd: bool = False
     flash_attention: str = "auto"  # auto|on|off: flash kernel for long self-attn
     fused_groupnorm: str = "auto"  # auto|on|off: fused VAE GroupNorm+SiLU kernel
     # rematerialization of transformer blocks in the backward. auto = off
@@ -101,10 +105,6 @@ class Config:
     resume: bool = False  # resume from checkpoints / stage artifacts
     log_every: int = 10
     profile_steps: int = 0  # capture a jax.profiler trace of N stage-1 steps
-
-    @property
-    def context_shape(self) -> tuple[int, int, int]:
-        return (1, self.num_tokens, 768)
 
 
 # README.md:50-56 guidance: 500 steps for humans/faces, 10k for others

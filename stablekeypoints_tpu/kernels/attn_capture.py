@@ -74,7 +74,8 @@ def _fwd_kernel(q_ref, k_ref, out_ref, *, heads: int, t_true: int, scale: float)
 
 
 def _bwd_kernel(
-    q_ref, k_ref, g_ref, dq_ref, dk_ref, *, heads: int, t_true: int, scale: float
+    q_ref, k_ref, g_ref, dq_ref, dk_ref, *, heads: int, t_true: int, scale: float,
+    precise: bool,
 ):
     bn, t_pad = g_ref.shape[1], g_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
@@ -86,11 +87,16 @@ def _bwd_kernel(
     t1 = g * p
     dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
     dsim = jnp.where(valid, dsim, 0.0)
-    # matmuls in the input dtype (bf16 -> MXU), fp32 accumulation. One
-    # extra bf16 rounding of dsim vs the XLA einsum fallback (which
-    # contracts dsim in fp32); ~1-ulp-relative gradient noise on the
-    # learned context, far below the per-step fresh-noise variance
-    dsim = dsim.astype(kh.dtype)
+    # default path: matmuls in the input dtype (bf16 -> MXU), fp32
+    # accumulation. One extra bf16 rounding of dsim vs the XLA einsum
+    # fallback (which contracts dsim in fp32); ~1-ulp-relative gradient
+    # noise on the learned context, far below the per-step fresh-noise
+    # variance. precise=True keeps dsim fp32 through the contractions
+    # (mixed fp32 x bf16, rounding once at the dq write — matching the
+    # fallback einsum's rounding) for strict kernel/fallback parity,
+    # at a lower MXU rate.
+    if not precise:
+        dsim = dsim.astype(kh.dtype)
 
     dq_ref[0, 0] = jax.lax.dot_general(
         dsim, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -122,14 +128,15 @@ def _prep_k(k):
     return kh, t_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _capture_core(
-    q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: bool, total_heads: int
+    q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: bool, total_heads: int,
+    precise_bwd: bool = False,
 ):
     """q: [B, H, N, D], k: [B, T, H, D] -> [B, N, T] fp32; sums the local
     heads' softmaxes scaled by 1/total_heads (the full head-mean when
     total_heads == H; a partial sum to be psum'ed under tensor parallelism)."""
-    out, _ = _capture_fwd(q, k, scale, interpret, total_heads)
+    out, _ = _capture_fwd(q, k, scale, interpret, total_heads, precise_bwd)
     return out
 
 
@@ -150,7 +157,7 @@ def _run_fwd(qh, kh, t, t_pad, scale, interpret, total_heads):
     return out[:, :, :t]
 
 
-def _capture_fwd(q, k, scale, interpret, total_heads):
+def _capture_fwd(q, k, scale, interpret, total_heads, precise_bwd=False):
     t = k.shape[1]
     kh, t_pad = _prep_k(k)
     out = _run_fwd(q, kh, t, t_pad, scale, interpret, total_heads)
@@ -158,7 +165,7 @@ def _capture_fwd(q, k, scale, interpret, total_heads):
     return out, (q, kh, t)
 
 
-def _capture_bwd(scale, interpret, total_heads, res, g):
+def _capture_bwd(scale, interpret, total_heads, precise_bwd, res, g):
     qh, kh, t = res
     b, h, n, d = qh.shape
     t_pad = kh.shape[2]
@@ -166,7 +173,10 @@ def _capture_bwd(scale, interpret, total_heads, res, g):
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t))).astype(jnp.float32)
 
     dq, dk = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=total_heads, t_true=t, scale=scale),
+        functools.partial(
+            _bwd_kernel, heads=total_heads, t_true=t, scale=scale,
+            precise=precise_bwd,
+        ),
         grid=(b, h, n // bn),  # n-block innermost: dk block accumulates in VMEM
         in_specs=[
             pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
@@ -197,6 +207,7 @@ def capture_attention(
     scale: float,
     interpret: bool = False,
     mesh=None,
+    precise_bwd: bool = False,
 ):
     """q: [B, H, N, D] (head-major), k: [B, T, H, D] -> [B, N, T] fp32
     head-mean softmax.
@@ -216,7 +227,7 @@ def capture_attention(
         n_model = mesh.shape.get("model", 1)
         if b % n_data == 0 and h % n_model == 0:
             def local(qs, ks):
-                part = _capture_core(qs, ks, scale, interpret, h)
+                part = _capture_core(qs, ks, scale, interpret, h, precise_bwd)
                 if n_model > 1:
                     part = jax.lax.psum(part, "model")
                 return part
@@ -233,4 +244,4 @@ def capture_attention(
                 check_vma=False,
             )(q, k)
         # uneven batch/heads (e.g. eval view counts): replicated fallback
-    return _capture_core(q, k, scale, interpret, h)
+    return _capture_core(q, k, scale, interpret, h, precise_bwd)

@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas_capture", type=str, default=d.pallas_capture,
                    choices=["auto", "on", "off"],
                    help="fused Pallas capture-attention kernel")
+    p.add_argument("--capture_fp32_bwd", action="store_true",
+                   help="strict kernel/fallback gradient parity: fp32 dsim "
+                        "contraction in the capture kernel backward")
     p.add_argument("--fused_groupnorm", type=str, default=d.fused_groupnorm,
                    choices=["auto", "on", "off"],
                    help="fused Pallas VAE GroupNorm+SiLU kernel")

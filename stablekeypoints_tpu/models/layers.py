@@ -258,6 +258,7 @@ class CrossAttention(nn.Module):
     capture_res: Optional[int] = None
     pallas_capture: bool = False  # fused Pallas kernel for the capture path
     pallas_interpret: bool = False  # interpret mode (non-TPU meshes)
+    capture_fp32_bwd: bool = False  # fp32 dsim contraction in the kernel bwd
     flash: bool = False  # Pallas flash attention for long self-attention
     # device mesh for multi-chip runs: Pallas kernels are opaque to GSPMD,
     # so on >1-device meshes they run under shard_map (batch over 'data',
@@ -326,7 +327,8 @@ class CrossAttention(nn.Module):
                 from stablekeypoints_tpu.kernels.attn_capture import capture_attention
 
                 capture = capture_attention(
-                    q_up, k, scale, self.pallas_interpret, mesh=self.mesh
+                    q_up, k, scale, self.pallas_interpret, mesh=self.mesh,
+                    precise_bwd=self.capture_fp32_bwd,
                 )
             else:
                 sim_up = jnp.einsum(
@@ -381,6 +383,7 @@ class BasicTransformerBlock(nn.Module):
     capture_res: Optional[int] = None
     pallas_capture: bool = False
     pallas_interpret: bool = False
+    capture_fp32_bwd: bool = False
     flash: bool = False
     mesh: "object" = None
 
@@ -393,7 +396,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + h
         h, capture = CrossAttention(
             self.heads, self.dim_head, self.dtype, self.capture_res,
-            self.pallas_capture, self.pallas_interpret,
+            self.pallas_capture, self.pallas_interpret, self.capture_fp32_bwd,
             flash=self.flash, mesh=self.mesh, name="attn2"
         )(LayerNorm32(name="norm2")(x), context)
         x = x + h
@@ -413,6 +416,7 @@ class Transformer2D(nn.Module):
     capture_res: Optional[int] = None
     pallas_capture: bool = False
     pallas_interpret: bool = False
+    capture_fp32_bwd: bool = False
     flash: bool = False
     mesh: "object" = None
 
@@ -431,7 +435,8 @@ class Transformer2D(nn.Module):
             res = self.capture_res if i == 0 else None
             x, cap = BasicTransformerBlock(
                 inner, self.heads, self.dim_head, self.dtype, res,
-                self.pallas_capture, self.pallas_interpret, self.flash,
+                self.pallas_capture, self.pallas_interpret,
+                self.capture_fp32_bwd, self.flash,
                 self.mesh, name=f"blocks_{i}"
             )(x, context)
             if cap is not None:

@@ -86,6 +86,9 @@ class UNetConfig:
     # interpret-mode fallback keeps CPU tests working
     pallas_capture: bool = False
     pallas_interpret: bool = False
+    # keep the capture backward's dsim contraction in fp32 (strict parity
+    # with the einsum fallback's rounding) instead of bf16 MXU-rate matmuls
+    capture_fp32_bwd: bool = False
     # Pallas flash attention for the long (>=1024-query) self-attention
     # layers: never materializes the [B, heads, seq, seq] similarity (4.3 GB
     # at 64^2/batch 8) — TPU only, einsum path elsewhere
@@ -243,6 +246,7 @@ class UpBlock(nn.Module):
                     capture_res=capture_res if do_capture else None,
                     pallas_capture=cfg.pallas_capture,
                     pallas_interpret=cfg.pallas_interpret,
+                    capture_fp32_bwd=cfg.capture_fp32_bwd,
                     flash=cfg.flash_attention,
                     mesh=self.mesh,
                     name=f"attentions_{i}",

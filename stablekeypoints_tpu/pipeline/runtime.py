@@ -104,9 +104,16 @@ class Runtime:
             # the default backend, e.g. a virtual CPU mesh on a TPU host)
             use = cfg.pallas_capture == "on" or mesh_platform == "tpu"
             interp = mesh_platform != "tpu"
-            if (use, interp) != (unet_config.pallas_capture, unet_config.pallas_interpret):
+            if (use, interp, cfg.capture_fp32_bwd) != (
+                unet_config.pallas_capture,
+                unet_config.pallas_interpret,
+                unet_config.capture_fp32_bwd,
+            ):
                 unet_config = dataclasses.replace(
-                    unet_config, pallas_capture=use, pallas_interpret=interp
+                    unet_config,
+                    pallas_capture=use,
+                    pallas_interpret=interp,
+                    capture_fp32_bwd=cfg.capture_fp32_bwd,
                 )
         use_flash = cfg.flash_attention == "on" or (
             cfg.flash_attention == "auto" and mesh_platform == "tpu"

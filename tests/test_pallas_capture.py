@@ -127,3 +127,31 @@ def test_backward_bf16_close_to_reference():
         b = np.asarray(b, np.float32)
         denom = np.abs(b).max()
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-2)
+
+
+def test_backward_precise_bwd_tight_parity():
+    """precise_bwd=True keeps dsim fp32 through the backward contractions —
+    with bf16 inputs the kernel must match the einsum fallback on the same
+    bf16 inputs to near machine precision (same rounding points), much
+    tighter than the default bf16-dsim path's 2e-2 envelope."""
+    q, k = _make(b=1, n=128, h=2, d=16, t=45)
+    qb, kb = q.astype(jnp.bfloat16), k.astype(jnp.bfloat16)
+    scale = 0.25
+    cot = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 45), jnp.float32)
+
+    # fallback on the SAME bf16 inputs (isolates the kernel's own rounding)
+    gq_ref, gk_ref = jax.grad(
+        lambda q, k: jnp.sum(capture_attention_reference(q, k, scale) * cot),
+        argnums=(0, 1),
+    )(qb, kb)
+    gq, gk = jax.grad(
+        lambda q, k: jnp.sum(
+            capture_attention(q, k, scale, True, precise_bwd=True) * cot
+        ),
+        argnums=(0, 1),
+    )(qb, kb)
+    for a, b in ((gq, gq_ref), (gk, gk_ref)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = np.abs(b).max()
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-3)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import sys
 
 
@@ -34,8 +35,8 @@ def summarize(logdir: str, top: int = 40) -> None:
     agg = {}
     for r in rows:
         name = r[i_name]
-        # collapse per-layer instances: strip trailing layer indices
-        key = name
+        # collapse per-layer instances of the same op into one row
+        key = re.sub(r"[._/]\d+$", "", name)
         agg.setdefault(key, [0.0, 0])
         agg[key][0] += float(r[i_self] or 0)
         agg[key][1] += int(r[i_occ] or 0) if i_occ is not None else 0

@@ -37,13 +37,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def phase_conversion_parity(model_path: str, image_size: int) -> bool:
+def phase_conversion_parity(model_path: str, image_size: int) -> bool | None:
     try:
         import torch
         from diffusers import AutoencoderKL, UNet2DConditionModel  # type: ignore
     except Exception as e:
         print(f"[1/3] diffusers not importable ({e}); skipping torch A/B")
-        return False
+        return None  # skipped, not failed
     import jax.numpy as jnp
 
     from stablekeypoints_tpu.models.unet import SD15_CONFIG, UNet
@@ -85,7 +85,7 @@ def phase_conversion_parity(model_path: str, image_size: int) -> bool:
     return err < 5e-2 and verr < 5e-2
 
 
-def phase_capture_sanity(model_path: str, image_size: int) -> None:
+def phase_capture_sanity(model_path: str, image_size: int) -> bool:
     import jax
 
     from stablekeypoints_tpu.config import Config
@@ -103,13 +103,15 @@ def phase_capture_sanity(model_path: str, image_size: int) -> None:
     p = p / p.sum(-1, keepdims=True)
     ent = -(p * np.log(p + 1e-12)).sum(-1).mean()
     uniform = np.log(p.shape[-1])
+    ok = 0.05 * uniform < ent < 0.98 * uniform
     print(
         f"[2/3] capture maps: mean entropy {ent:.2f} vs uniform {uniform:.2f} "
-        f"({'non-degenerate OK' if 0.05 * uniform < ent < 0.98 * uniform else 'DEGENERATE — check weights'})"
+        f"({'non-degenerate OK' if ok else 'DEGENERATE — check weights'})"
     )
+    return ok
 
 
-def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> None:
+def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> bool:
     from stablekeypoints_tpu.config import Config, apply_preset
     from stablekeypoints_tpu import main as cli
 
@@ -127,17 +129,20 @@ def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> N
     result = cli.run(cfg)
     dt = time.time() - t0
     md = result.get("mean_distance")
+    paper = 5.24 if wild else 2.44
     print(
         json.dumps(
             {
                 "phase": "celeba",
                 "dataset": name,
                 "mean_distance_x100": None if md is None else 100 * md,
-                "paper_x100": 5.24 if wild else 2.44,
+                "paper_x100": paper,
                 "wall_s": round(dt, 1),
             }
         )
     )
+    # north-star: within 2% relative of the reference number (BASELINE.md)
+    return md is not None and 100 * md <= paper * 1.02
 
 
 def main():
@@ -150,13 +155,24 @@ def main():
     ap.add_argument("--skip_diffusers", action="store_true")
     args = ap.parse_args()
 
+    # collect per-phase pass/fail so automation can't mistake a failed
+    # north-star validation for success (the script exits 1 on any failure)
+    results: dict[str, bool | None] = {}
     if not args.skip_diffusers:
-        phase_conversion_parity(args.model_path, args.image_size)
-    phase_capture_sanity(args.model_path, args.image_size)
+        results["conversion_parity"] = phase_conversion_parity(
+            args.model_path, args.image_size
+        )
+    results["capture_sanity"] = phase_capture_sanity(args.model_path, args.image_size)
     if args.dataset_loc:
-        phase_celeba(args.model_path, args.dataset_loc, args.steps, args.wild)
+        results["celeba"] = phase_celeba(
+            args.model_path, args.dataset_loc, args.steps, args.wild
+        )
     else:
         print("[3/3] no --dataset_loc; skipping CelebA metric run")
+    failed = [k for k, ok in results.items() if ok is False]  # None = skipped
+    print(json.dumps({"phases": results, "failed": failed}))
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
