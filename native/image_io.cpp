@@ -51,7 +51,6 @@ void resize_normalize(const uint8_t* src, int in_h, int in_w, float* dst,
   std::vector<float> tx(out_w);
   for (int x = 0; x < out_w; ++x) tap(x, in_w, sx, &x0[x], &x1[x], &tx[x]);
 
-  constexpr float kInv255 = 1.0f / 255.0f;
   for (int y = 0; y < out_h; ++y) {
     int y0, y1;
     float ty;
@@ -65,7 +64,9 @@ void resize_normalize(const uint8_t* src, int in_h, int in_w, float* dst,
       for (int c = 0; c < 3; ++c) {
         const float top = r0[a + c] + t * (r0[b + c] - r0[a + c]);
         const float bot = r1[a + c] + t * (r1[b + c] - r1[a + c]);
-        out_row[x * 3 + c] = (top + ty * (bot - top)) * kInv255;
+        // divide (not multiply by 1/255) so identity resizes are bit-equal
+        // to numpy's uint8 / 255.0 in the PIL path
+        out_row[x * 3 + c] = (top + ty * (bot - top)) / 255.0f;
       }
     }
   }

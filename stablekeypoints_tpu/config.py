@@ -100,6 +100,11 @@ class Config:
     # (e.g. 128) warp at capture resolution and upsample the average,
     # trading exact argmax parity for ~3x faster evaluation
     eval_ensemble_res: int = -1
+    # adapter image loads: off = PIL (reference-exact resizes); auto = native
+    # libjpeg decode only when bit-identical (file already target-sized);
+    # on = native fused decode+resize for all JPEGs (torch-bilinear, no
+    # antialias — measured ~1.3x per loader thread and GIL-free)
+    native_io: str = "auto"
     seed: int = 0
     checkpoint_every: int = 0  # 0 = only stage-end artifacts
     resume: bool = False  # resume from checkpoints / stage artifacts

@@ -29,6 +29,9 @@ DATASET_NAMES = (
 
 
 def build_dataset(cfg: Config, split: str):
+    from stablekeypoints_tpu.data.base import set_native_io
+
+    set_native_io(cfg.native_io)
     name = cfg.dataset_name
     loc = cfg.dataset_loc
     size = cfg.image_size

@@ -114,6 +114,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=d.profile_steps,
                    help="capture a jax.profiler trace of N stage-1 steps")
     p.add_argument("--eval_batch_images", type=int, default=d.eval_batch_images)
+    p.add_argument("--native_io", type=str, default=d.native_io,
+                   choices=["auto", "on", "off"],
+                   help="route adapter image loads through the native "
+                        "libjpeg core (auto = only when bit-identical to PIL)")
     p.add_argument("--eval_ensemble_res", type=int, default=d.eval_ensemble_res,
                    help="-1 = warp the test-time ensemble at image resolution (reference-exact); lower = faster eval")
     return p

@@ -19,6 +19,22 @@ def evaluate(runtime: Runtime, dataset, context, indices, regressor, logger=None
     reg = np.asarray(regressor, np.float32)
 
     order = np.random.default_rng(cfg.seed + 5).permutation(len(dataset))
+    if cfg.visualize and len(order):
+        # reference saves an `augmentation.png` debug panel of the test-time
+        # ensemble for the first evaluated image (eval.py:268-353, call site
+        # eval.py:443-444)
+        import os
+
+        from stablekeypoints_tpu.pipeline.visualize import save_augmentation_panel
+
+        first = dataset[int(order[0])]
+        save_augmentation_panel(
+            runtime,
+            np.asarray(first["img"], np.float32),
+            context,
+            indices,
+            os.path.join(cfg.save_folder, "augmentation.png"),
+        )
     all_values = []
     m = max(1, cfg.eval_batch_images)
     for lo in range(0, len(order), m):

@@ -62,6 +62,51 @@ def test_load_image_rgb_fast_jpeg(tmp_path):
     np.testing.assert_allclose(out, 128 / 255.0, atol=0.02)
 
 
+def test_native_io_auto_bit_equal_to_pil(tmp_path):
+    """auto mode routes target-sized JPEGs through the native decoder, which
+    must be BIT-identical to the PIL path (same libjpeg output, same /255)."""
+    from stablekeypoints_tpu.data import base
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    p = str(tmp_path / "at_size.jpg")
+    Image.fromarray(img).save(p, quality=90)
+    try:
+        base.set_native_io("off")
+        pil = base.load_image_rgb(p, 64)
+        base.set_native_io("auto")
+        nat = base.load_image_rgb(p, 64)
+    finally:
+        base.set_native_io("auto")
+    assert np.array_equal(pil, nat)
+
+
+def test_native_io_auto_resize_uses_pil(tmp_path):
+    """auto mode keeps the PIL antialiased resize when the file is not at
+    target size (exactness over speed)."""
+    from stablekeypoints_tpu.data import base
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, size=(96, 96, 3), dtype=np.uint8)
+    p = str(tmp_path / "resize.jpg")
+    Image.fromarray(img).save(p, quality=90)
+    try:
+        base.set_native_io("auto")
+        auto = base.load_image_rgb(p, 64)
+        base.set_native_io("off")
+        pil = base.load_image_rgb(p, 64)
+    finally:
+        base.set_native_io("auto")
+    assert np.array_equal(auto, pil)
+
+
+def test_native_io_mode_validation():
+    from stablekeypoints_tpu.data import base
+
+    with pytest.raises(ValueError):
+        base.set_native_io("fast")
+
+
 def test_load_image_rgb_fast_png_falls_back(tmp_path):
     from stablekeypoints_tpu.data.base import load_image_rgb_fast
 

@@ -41,6 +41,7 @@ def pipeline_outputs(tmp_path_factory):
         max_num_points=6,
         dtype="float32",
         save_folder=str(tmp_path_factory.mktemp("outputs")),
+        visualize=True,  # stage 5 must emit the augmentation debug panel
     )
     rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
     train = SyntheticBlobs(length=16, image_size=64, num_kpts=4, seed=0)
@@ -78,6 +79,20 @@ def test_stage5_metric(pipeline_outputs):
     *_, mean_dist, all_vals = pipeline_outputs
     assert np.isfinite(mean_dist)
     assert all_vals.shape == (4,)
+
+
+def test_stage5_augmentation_panel(pipeline_outputs):
+    """--visualize writes the test-time-ensemble debug panel for the first
+    evaluated image (reference eval.py:268-353, call site eval.py:443-444)."""
+    import os
+
+    from PIL import Image
+
+    cfg, *_ = pipeline_outputs
+    path = os.path.join(cfg.save_folder, "augmentation.png")
+    assert os.path.exists(path)
+    w, h = Image.open(path).size
+    assert w > 0 and h > 0
 
 
 def test_artifact_roundtrip(pipeline_outputs):
