@@ -63,8 +63,14 @@ def generate_images(
         uctx = jnp.broadcast_to(uncond, (num_images, *uncond.shape[1:]))
         n_steps = len(sched.timesteps)
 
+        # SDXL: condition on diffusers-standard time_ids for the generated
+        # size (None for SD1.x)
+        added = runtime._added_cond(num_images, target_size=hw * 8)
+
         def eps_fn(lat, ts, c):
-            eps, _ = runtime.unet.apply({"params": unet_params}, lat, ts, c)
+            eps, _ = runtime.unet.apply(
+                {"params": unet_params}, lat, ts, c, added_cond=added
+            )
             return eps
 
         def body(i, lat):
@@ -97,6 +103,7 @@ def generate_images(
                 ctx,
                 capture_res=cfg.feature_upsample_res,
                 truncate=True,
+                added_cond=added,
             )
             maps = collect_maps(captures, cfg.layers, -1, None)
         images = runtime.vae.apply(

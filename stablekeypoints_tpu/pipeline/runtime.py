@@ -194,6 +194,22 @@ class Runtime:
             )
         )
 
+    def _added_cond(self, batch: int, target_size: Optional[int] = None):
+        """SDXL micro-conditioning with diffusers-standard values.
+
+        diffusers' StableDiffusionXLPipeline conditions every forward on
+        time_ids = (orig_h, orig_w, crop_top, crop_left, target_h, target_w)
+        = (size, size, 0, 0, size, size) for uncropped generation at `size`;
+        the reference's SDXL intent (sdxl_monkey_patch.py:89-214) predates
+        this plumbing entirely. With the learned context replacing the text
+        encoders, the pooled text_embeds stays at its zeros default (see
+        models/unet.py). Returns None for backbones without micro-cond."""
+        if self.unet.config.addition_emb_dim <= 0:
+            return None
+        s = float(target_size if target_size is not None else self.cfg.image_size)
+        tid = jnp.asarray([[s, s, 0.0, 0.0, s, s]], jnp.float32)
+        return {"time_ids": jnp.broadcast_to(tid, (batch, 6))}
+
     def _attn_maps(
         self,
         unet_params,
@@ -223,6 +239,7 @@ class Runtime:
             ctx,
             capture_res=cfg.feature_upsample_res,
             truncate=truncate,
+            added_cond=self._added_cond(b),
         )
         return collect_maps(captures, cfg.layers, upsample_res, indices)
 

@@ -139,10 +139,23 @@ def _timestep_embedding(t, dim):
     return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
 
 
-def torch_unet_forward(sd, cfg, latents_nchw, t, ctx):
+def torch_unet_forward(sd, cfg, latents_nchw, t, ctx, added=None):
     temb = _timestep_embedding(t, cfg.block_channels[0])
     temb = F.linear(temb, _w(sd, "time_embedding.linear_1.weight"), _w(sd, "time_embedding.linear_1.bias"))
     temb = F.linear(F.silu(temb), _w(sd, "time_embedding.linear_2.weight"), _w(sd, "time_embedding.linear_2.bias"))
+    if cfg.addition_emb_dim > 0:
+        # diffusers SDXL add_embedding: fourier-embed each of the 6 time_ids
+        # with get_timestep_embedding (flip_sin_to_cos=True), flatten, concat
+        # with the pooled text_embeds, two linears with silu between
+        b = latents_nchw.shape[0]
+        added = added or {}
+        text_embeds = added.get("text_embeds", torch.zeros(b, cfg.addition_emb_dim))
+        time_ids = added.get("time_ids", torch.zeros(b, 6))
+        tid = _timestep_embedding(time_ids.reshape(-1), cfg.addition_time_dim)
+        aug = torch.cat([text_embeds, tid.reshape(b, -1)], dim=-1)
+        aug = F.linear(aug, _w(sd, "add_embedding.linear_1.weight"), _w(sd, "add_embedding.linear_1.bias"))
+        aug = F.linear(F.silu(aug), _w(sd, "add_embedding.linear_2.weight"), _w(sd, "add_embedding.linear_2.bias"))
+        temb = temb + aug
 
     x = _conv(latents_nchw, sd, "conv_in")
     n = len(cfg.block_channels)
@@ -268,6 +281,57 @@ def test_unet_conversion_matches_torch_forward():
         torch.from_numpy(ts), torch.from_numpy(ctx),
     ).numpy()
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sdxl_added_cond_conversion_matches_torch_forward():
+    """SDXL micro-conditioning path: the converted add_embedding_linear_{1,2}
+    must reproduce diffusers' add_embedding on real (orig, crop, target)
+    time_ids — the values Runtime._added_cond now supplies (the reference's
+    SDXL intent, sdxl_monkey_patch.py:89-214, never had this plumbing)."""
+    from stablekeypoints_tpu.models.unet import sdxl_tiny_config
+
+    cfg = sdxl_tiny_config()
+    shapes, model = _unet_shapes(cfg)
+    rules = W.unet_conversion_rules(cfg)
+    sd = _fabricate(rules, shapes, seed=6)
+    params = W.convert_unet_state_dict(sd, cfg)
+
+    rng = np.random.default_rng(7)
+    lat = rng.standard_normal((2, 16, 16, 4)).astype(np.float32)
+    ts = np.asarray([400, 3], np.int64)
+    ctx = rng.standard_normal((2, 6, cfg.context_dim)).astype(np.float32)
+    text_embeds = rng.standard_normal((2, cfg.addition_emb_dim)).astype(np.float32)
+    time_ids = np.asarray([[512.0, 512.0, 0.0, 0.0, 512.0, 512.0]] * 2, np.float32)
+
+    eps, _ = model.apply(
+        {"params": params}, jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx),
+        added_cond={
+            "text_embeds": jnp.asarray(text_embeds),
+            "time_ids": jnp.asarray(time_ids),
+        },
+    )
+    got = np.asarray(eps).transpose(0, 3, 1, 2)
+    want = torch_unet_forward(
+        sd, cfg, torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+        torch.from_numpy(ts), torch.from_numpy(ctx),
+        added={
+            "text_embeds": torch.from_numpy(text_embeds),
+            "time_ids": torch.from_numpy(time_ids),
+        },
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # and the zeros default (no added_cond) must equal explicit zeros —
+    # i.e. the add-embedding branch is active, not skipped, by default
+    eps_default, _ = model.apply(
+        {"params": params}, jnp.asarray(lat), jnp.asarray(ts), jnp.asarray(ctx)
+    )
+    want_default = torch_unet_forward(
+        sd, cfg, torch.from_numpy(lat.transpose(0, 3, 1, 2)),
+        torch.from_numpy(ts), torch.from_numpy(ctx),
+    ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(eps_default).transpose(0, 3, 1, 2), want_default, atol=1e-4
+    )
 
 
 def test_unet_conversion_covers_all_params():

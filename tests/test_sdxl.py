@@ -49,6 +49,68 @@ def test_sdxl_added_cond_changes_output():
     assert np.abs(np.asarray(eps0 - eps1)).max() > 1e-6
 
 
+def test_runtime_supplies_diffusers_standard_time_ids():
+    """Runtime._added_cond must supply diffusers' (orig_h, orig_w, crop_top,
+    crop_left, target_h, target_w) — not the hardwired zeros of round 2 —
+    for SDXL backbones, and None for SD1.x."""
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.models.vae import tiny_vae_config
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    cfg = Config(
+        dataset_name="synthetic", model_type="sdxl", image_size=64,
+        num_tokens=10, feature_upsample_res=8, dtype="float32",
+    )
+    rt = Runtime.create(cfg, sdxl_tiny_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
+    cond = rt._added_cond(3)
+    assert cond is not None and set(cond) == {"time_ids"}
+    np.testing.assert_array_equal(
+        np.asarray(cond["time_ids"]),
+        np.asarray([[64.0, 64.0, 0.0, 0.0, 64.0, 64.0]] * 3, np.float32),
+    )
+    # generation at a different size conditions on that size
+    np.testing.assert_array_equal(
+        np.asarray(rt._added_cond(1, target_size=128)["time_ids"]),
+        np.asarray([[128.0, 128.0, 0.0, 0.0, 128.0, 128.0]], np.float32),
+    )
+
+    from stablekeypoints_tpu.models.unet import tiny_unet_config
+
+    cfg15 = Config(
+        dataset_name="synthetic", image_size=64, num_tokens=10,
+        feature_upsample_res=8, dtype="float32",
+    )
+    rt15 = Runtime.create(cfg15, tiny_unet_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
+    assert rt15._added_cond(2) is None
+
+
+def test_sdxl_generation():
+    """SDXL DDIM sampling end-to-end on the tiny topology (micro-cond
+    plumbed through eps_fn and the final-step capture)."""
+    import jax
+
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.models.vae import tiny_vae_config
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+    from stablekeypoints_tpu.pipeline.generate import generate_images
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    cfg = Config(
+        dataset_name="synthetic", model_type="sdxl", image_size=64,
+        num_tokens=10, feature_upsample_res=8, dtype="float32",
+    )
+    rt = Runtime.create(cfg, sdxl_tiny_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
+    ctx = jax.random.normal(
+        jax.random.PRNGKey(0), (1, 10, rt.unet.config.context_dim), jnp.float32
+    )
+    images, maps = generate_images(rt, ctx, num_images=1, latent_hw=8, capture_final_maps=True)
+    assert images.shape == (1, 64, 64, 3)
+    assert np.isfinite(images).all() and (images >= 0).all() and (images <= 1).all()
+    assert maps is not None and maps.shape == (1, 10, 8, 8)
+    assert np.isfinite(maps).all()
+
+
 def test_sdxl_conversion_covers_every_param():
     from stablekeypoints_tpu.models.weights import (
         convert_unet_state_dict,
