@@ -5,15 +5,28 @@ images, 500 learned tokens, 128^2 attention capture, effective batch 4 =
 2 capture forwards + 1 backward into the embedding per step, Adam update —
 all as one jitted program on the available device(s).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Two steady states are measured and both are reported (VERDICT r2 weak #1):
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md), so the
-denominator is an engineering estimate of the reference implementation on
-one A100: ~5.6 fp32 TFLOP per batch-4 optimizer step (2 fwd + 1 bwd, incl.
-the recomputed 128^2x500 attention capture) at ~30% utilization plus the
-host-synced FPS loops => ~0.3 optimizer steps/sec. Weights are random-init
-(zero-egress environment); speed is weight-value independent.
+  value (headline)   — latent-cache HIT steady state: the original-image
+                       VAE latents are cached per dataset index, so each
+                       step encodes only the per-step random affine view.
+                       This is the multi-epoch steady state (any dataset
+                       that fits latent_cache_entries, e.g. the 10k-step
+                       non-human presets after epoch 1).
+  fill_steps_per_sec — cache MISS/fill path: both images encoded in-step.
+                       This is the single-epoch regime (the 500-step CelebA
+                       flagship draws 2,000 unique images from ~160k, so
+                       virtually every step is a miss).
+
+MFU is computed from the compiled step's own XLA cost analysis against the
+chip's peak (v5e: 197 bf16 TFLOP/s), so the headline does not rest on the
+cross-hardware ratio. vs_baseline uses the derived reference estimate of
+0.6 optimizer steps/s on one A100 (fp32 torch eager) — full derivation in
+BASELINE.md ("A100 reference derivation"); the reference repo publishes no
+numbers of its own.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 """
 
 from __future__ import annotations
@@ -37,7 +50,49 @@ from stablekeypoints_tpu.config import Config
 from stablekeypoints_tpu.parallel import mesh as pmesh
 from stablekeypoints_tpu.pipeline.runtime import Runtime
 
-REFERENCE_A100_STEPS_PER_SEC = 0.3  # see module docstring
+# Derived in BASELINE.md ("A100 reference derivation"): ~22 fp32 TFLOP per
+# batch-4 optimizer step, matmuls at true fp32 (torch>=1.12 defaults
+# allow_tf32=False and the reference sets no precision flags), convs TF32,
+# plus per-micro-step host-synced FPS loops => ~0.6 steps/s.
+REFERENCE_A100_STEPS_PER_SEC = 0.6
+
+PEAK_TFLOPS = {  # bf16 peak per chip, by device-kind substring
+    "v5 lite": 197.0, "v5e": 197.0, "v4": 275.0, "v5p": 459.0, "v6": 918.0,
+}
+
+
+def _peak_tflops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for k, v in PEAK_TFLOPS.items():
+        if k in kind:
+            return v
+    return None
+
+
+def _flops(step_partial, *args) -> float | None:
+    """Per-step FLOPs from the compiled executable's XLA cost analysis."""
+    try:
+        lowered = step_partial.func.lower(*step_partial.args, *args)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def _time_steps(step_fn, context, opt_state, key, steps):
+    # warmup (compile + first run); float() forces a device->host transfer,
+    # the only reliable sync on every backend (block_until_ready has been
+    # observed returning early on tunneled platforms)
+    for _ in range(2):
+        context, opt_state, key, metrics = step_fn(context, opt_state, key)
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        context, opt_state, key, metrics = step_fn(context, opt_state, key)
+    float(metrics["loss"])  # steps chain through (context, opt_state, key)
+    return steps / (time.perf_counter() - t0)
 
 
 def main():
@@ -48,6 +103,9 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024" if sdxl else "512"))
     num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "500"))
+    # BENCH_CACHE: 'both' (default) measures hit + fill; '1' / '0' restrict
+    # to one variant (ablations)
+    cache_mode = os.environ.get("BENCH_CACHE", "both")
 
     cfg = Config(
         dataset_name="synthetic",
@@ -64,54 +122,70 @@ def main():
     rng = np.random.default_rng(0)
     images = rng.uniform(0, 1, size=(batch, image_size, image_size, 3)).astype(np.float32)
     images = pmesh.shard_batch(runtime.mesh, images)
-
-    context = runtime.init_context()
-    opt_state = jax.device_put(
-        runtime.optimizer.init(context), pmesh.replicated(runtime.mesh)
-    )
-    # measure the framework's default steady state: the training loop caches
-    # the deterministic original-image VAE latents per dataset index, so
-    # steady-state steps encode only the per-step random affine view
-    # (pipeline/optimize.py; identical math, tested bit-equal). Set
-    # BENCH_CACHE=0 to measure the encode-both variant instead.
-    cached = os.environ.get("BENCH_CACHE", "1") == "1"
-    latents = runtime.encode_images_fn(images) if cached else None
-
-    def step_fn(context, opt_state, key):
-        if cached:
-            return runtime.train_step_cached(context, opt_state, latents, images, key)
-        return runtime.train_step(context, opt_state, images, key)
-
-    # warmup (compile + first run); float() forces a device->host transfer,
-    # the only reliable sync on every backend (block_until_ready has been
-    # observed returning early on tunneled platforms). The key is committed
-    # replicated so the chained key's sharding matches from step one.
-    key = jax.device_put(jax.random.PRNGKey(0), pmesh.replicated(runtime.mesh))
-    for _ in range(2):
-        context, opt_state, key, metrics = step_fn(context, opt_state, key)
-    float(metrics["loss"])
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        context, opt_state, key, metrics = step_fn(context, opt_state, key)
-    float(metrics["loss"])  # steps chain through (context, opt_state, key)
-    dt = time.perf_counter() - t0
-
-    steps_per_sec = steps / dt
     n_chips = runtime.mesh.devices.size
-    per_chip = steps_per_sec / n_chips
-    name = "sdxl" if sdxl else "sd15"
-    print(
-        json.dumps(
-            {
-                "metric": f"{name}_token_optimization_steps_per_sec_per_chip",
-                "value": round(per_chip, 4),
-                "unit": f"steps/s/chip (batch {batch}, {num_tokens} tokens, "
-                f"{cfg.feature_upsample_res}^2 capture, {image_size}^2 images)",
-                "vs_baseline": round(per_chip / REFERENCE_A100_STEPS_PER_SEC, 2),
-            }
+    peak = _peak_tflops(runtime.mesh.devices.flat[0])
+
+    def fresh_inputs():
+        # the train steps donate (context, opt_state, key): each timed
+        # variant needs its own buffers
+        context = runtime.init_context()
+        opt_state = jax.device_put(
+            runtime.optimizer.init(context), pmesh.replicated(runtime.mesh)
         )
-    )
+        # committed replicated so the chained key's sharding matches from
+        # step one
+        key = jax.device_put(jax.random.PRNGKey(0), pmesh.replicated(runtime.mesh))
+        return context, opt_state, key
+
+    results = {}
+    if cache_mode in ("both", "1"):
+        latents = runtime.encode_images_fn(images)
+
+        def step_hit(context, opt_state, key):
+            return runtime.train_step_cached(context, opt_state, latents, images, key)
+
+        c, o, k = fresh_inputs()
+        fl = _flops(runtime.train_step_cached, c, o, latents, images, k)
+        sps = _time_steps(step_hit, c, o, k, steps)
+        results["hit"] = (sps / n_chips, fl)
+    if cache_mode in ("both", "0"):
+        def step_fill(context, opt_state, key):
+            return runtime.train_step(context, opt_state, images, key)
+
+        c, o, k = fresh_inputs()
+        fl = _flops(runtime.train_step, c, o, images, k)
+        sps = _time_steps(step_fill, c, o, k, steps)
+        results["fill"] = (sps / n_chips, fl)
+
+    headline = results.get("hit", results.get("fill"))
+    per_chip = headline[0]
+    name = "sdxl" if sdxl else "sd15"
+
+    def mfu(entry):
+        sps, fl = entry
+        if fl is None or peak is None:
+            return None
+        return round(sps * fl / (peak * 1e12), 4)
+
+    out = {
+        "metric": f"{name}_token_optimization_steps_per_sec_per_chip",
+        "value": round(per_chip, 4),
+        "unit": f"steps/s/chip (batch {batch}, {num_tokens} tokens, "
+        f"{cfg.feature_upsample_res}^2 capture, {image_size}^2 images; "
+        "latent-cache-hit steady state = multi-epoch workloads)",
+        "vs_baseline": round(per_chip / REFERENCE_A100_STEPS_PER_SEC, 2),
+        "baseline_note": "A100 ref derived at 0.6 steps/s (BASELINE.md); "
+        "reference publishes no numbers",
+    }
+    if "fill" in results and "hit" in results:
+        out["fill_steps_per_sec_per_chip"] = round(results["fill"][0], 4)
+        out["fill_note"] = "cache-miss path (single-epoch workloads, e.g. 500-step CelebA)"
+    if mfu(headline) is not None:
+        out["mfu"] = mfu(headline)
+        out["flops_per_step"] = headline[1]
+        if "fill" in results and mfu(results["fill"]) is not None:
+            out["mfu_fill"] = mfu(results["fill"])
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """High-level API smoke test (tiny models, synthetic data)."""
 
 import numpy as np
+import pytest
 
 from stablekeypoints_tpu.api import KeypointModel, learn_keypoints
 from stablekeypoints_tpu.config import Config
@@ -9,6 +10,9 @@ from stablekeypoints_tpu.models.unet import tiny_unet_config
 from stablekeypoints_tpu.models.vae import tiny_vae_config
 from stablekeypoints_tpu.parallel import mesh as pmesh
 from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
 
 
 def test_learn_and_detect(tmp_path):

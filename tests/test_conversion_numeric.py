@@ -33,6 +33,9 @@ from stablekeypoints_tpu.models import weights as W
 # derived by INVERTING the conversion rules against the Flax shape tree
 
 
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
+
 def _lookup(tree, dotted):
     node = tree
     for p in dotted.split("."):

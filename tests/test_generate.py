@@ -1,6 +1,7 @@
 """Generation path on tiny models."""
 
 import numpy as np
+import pytest
 
 from stablekeypoints_tpu.config import Config
 from stablekeypoints_tpu.models.unet import tiny_unet_config
@@ -8,6 +9,9 @@ from stablekeypoints_tpu.models.vae import tiny_vae_config
 from stablekeypoints_tpu.parallel import mesh as pmesh
 from stablekeypoints_tpu.pipeline.generate import generate_images
 from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
 
 
 def test_generate_images_shapes():

@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -44,6 +45,9 @@ from stablekeypoints_tpu.ops.losses import equivariance_loss, sharpening_loss
 from stablekeypoints_tpu.ops.selection import furthest_point_sampling, select_candidates
 from stablekeypoints_tpu.ops.transforms import AffineParams, apply_affine, make_theta
 from stablekeypoints_tpu.pipeline.runtime import collect_maps
+
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
 
 ref = load_reference()
 

@@ -25,6 +25,9 @@ from stablekeypoints_tpu.pipeline.regressor import (
 from stablekeypoints_tpu.pipeline.runtime import Runtime
 
 
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
+
 @pytest.fixture(scope="module")
 def pipeline_outputs(tmp_path_factory):
     cfg = Config(

@@ -3,9 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stablekeypoints_tpu.models import weights
 from stablekeypoints_tpu.models.unet import SDXL_CONFIG, UNet, sdxl_tiny_config
+
+
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
 
 
 def _init(cfg, hw=32):

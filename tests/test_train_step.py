@@ -16,6 +16,9 @@ from stablekeypoints_tpu.pipeline.optimize import optimize_embedding
 from stablekeypoints_tpu.pipeline.runtime import Runtime, collect_maps
 
 
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
+
 def tiny_config(**kw) -> Config:
     base = dict(
         dataset_name="synthetic",

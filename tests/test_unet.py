@@ -10,6 +10,9 @@ from stablekeypoints_tpu.models.unet import UNet, tiny_unet_config
 from stablekeypoints_tpu.models.vae import VAE, tiny_vae_config
 
 
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
+
 @pytest.fixture(scope="module")
 def tiny_unet():
     cfg = tiny_unet_config()
