@@ -20,6 +20,12 @@ def summarize(logdir: str, top: int = 40) -> None:
     if not paths:
         print("no xplane found under", logdir)
         return
+    # a logdir can accumulate multiple profile runs; mixing xplanes from
+    # different runs breaks the converter — parse only the newest run dir
+    import os as _os
+
+    newest_dir = _os.path.dirname(max(paths, key=_os.path.getmtime))
+    paths = [p for p in paths if _os.path.dirname(p) == newest_dir]
     data, _ = rtd.xspace_to_tool_data(paths, "framework_op_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
