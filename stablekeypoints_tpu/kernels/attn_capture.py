@@ -39,7 +39,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["capture_attention", "capture_attention_reference"]
+__all__ = [
+    "capture_attention",
+    "capture_attention_fused",
+    "capture_attention_reference",
+    "fused_capture_ok",
+]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -116,6 +121,85 @@ def _block_n(n: int) -> int:
         if n % bn == 0:
             return bn
     return n
+
+
+# ---------------------------------------------------------------------------
+# fused-upsample variant: the column resize matmul runs inside the kernel
+#
+# The unfused path materializes the upsampled queries [B, H, N=O*P, D]
+# (336 MB bf16 per 1280-channel layer at 128^2) in HBM, and XLA's lowering
+# of the second resize einsum inserts a full relayout of that tensor in
+# each direction (~1.5 ms/layer/step measured). Here the kernel receives
+# the ROW-resized tensor t = einsum('Oy,byxkd->bkOxd') (42 MB) plus the
+# [P, X] column-resize matrix, and builds each [bn, d] query tile in VMEM
+# with bo = bn/P tiny [P, X] @ [X, d] matmuls — the big tensor never
+# exists. Backward emits dt in the same layout (the row-resize VJP is
+# XLA's). Identical math to resize-then-project up to fp order.
+
+
+def _build_q(t_tile, ww, out_dtype):
+    """t_tile [bo, X, d], ww [P, X] -> q [bo*P, d] in (o-major, P) order."""
+    bo = t_tile.shape[0]
+    rows = [
+        jax.lax.dot_general(
+            ww, t_tile[o], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+        for o in range(bo)
+    ]
+    return jnp.concatenate(rows, axis=0)
+
+
+def _fwd_kernel_fused(t_ref, ww_ref, k_ref, out_ref, *, heads, t_true, scale):
+    bn, t_pad = out_ref.shape[1], out_ref.shape[2]
+    qh = _build_q(t_ref[0, 0], ww_ref[...], k_ref.dtype)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
+    p = _softmax_tile(qh, k_ref[0, 0], col < t_true, scale)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] += p * (1.0 / heads)
+
+
+def _bwd_kernel_fused(
+    t_ref, ww_ref, k_ref, g_ref, dt_ref, dk_ref, *, heads, t_true, scale, precise
+):
+    bn, t_pad = g_ref.shape[1], g_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
+    valid = col < t_true
+    kh = k_ref[0, 0]
+    qh = _build_q(t_ref[0, 0], ww_ref[...], kh.dtype)
+    p = _softmax_tile(qh, kh, valid, scale)
+    g = g_ref[0] * (1.0 / heads)
+    t1 = g * p
+    dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
+    dsim = jnp.where(valid, dsim, 0.0)
+    if not precise:
+        dsim = dsim.astype(kh.dtype)
+
+    dq = jax.lax.dot_general(
+        dsim, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # column-resize VJP: dt_o = ww^T @ dq_o, emitted in t's own layout
+    ww = ww_ref[...]
+    bo = dt_ref.shape[2]
+    P = ww.shape[0]
+    for o in range(bo):
+        dt_ref[0, 0, o] = jax.lax.dot_general(
+            ww, dq[o * P : (o + 1) * P].astype(ww.dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dt_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+
+    dk_ref[0, 0] += jax.lax.dot_general(
+        dsim, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _prep_k(k):
@@ -199,6 +283,125 @@ def _capture_bwd(scale, interpret, total_heads, precise_bwd, res, g):
 
 
 _capture_core.defvjp(_capture_fwd, _capture_bwd)
+
+
+def fused_capture_ok(out_h: int, out_w: int) -> bool:
+    """Query tiles must cover whole output rows: block_n % P == 0."""
+    n = out_h * out_w
+    return n >= out_w and _block_n(n) % out_w == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _capture_core_fused(
+    t: jnp.ndarray, ww: jnp.ndarray, k: jnp.ndarray, scale: float,
+    interpret: bool, total_heads: int, precise_bwd: bool = False,
+):
+    """t: [B, H, O, X, D] row-resized queries, ww: [P, X] column-resize
+    matrix, k: [B, T, H, D] -> [B, O*P, T] fp32 (see fused-upsample note)."""
+    out, _ = _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd)
+    return out
+
+
+def _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd=False):
+    tt = k.shape[1]
+    kh, t_pad = _prep_k(k)
+    b, h, O, X, d = t.shape
+    P = ww.shape[0]
+    n = O * P
+    bn = _block_n(n)
+    bo = bn // P
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_fused, heads=total_heads, t_true=tt, scale=scale),
+        grid=(b, n // bn, h),  # h innermost: out block accumulates in VMEM
+        in_specs=[
+            pl.BlockSpec((1, 1, bo, X, d), lambda i, j, hh: (i, hh, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, X), lambda i, j, hh: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, j, hh: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bn, t_pad), lambda i, j, hh: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, t_pad), jnp.float32),
+        interpret=interpret,
+    )(t, ww, kh)
+    return out[:, :, :tt], (t, ww, kh, tt)
+
+
+def _capture_fused_bwd(scale, interpret, total_heads, precise_bwd, res, g):
+    t, ww, kh, tt = res
+    b, h, O, X, d = t.shape
+    P = ww.shape[0]
+    n = O * P
+    t_pad = kh.shape[2]
+    bn = _block_n(n)
+    bo = bn // P
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - tt))).astype(jnp.float32)
+
+    dt, dk = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_fused, heads=total_heads, t_true=tt, scale=scale,
+            precise=precise_bwd,
+        ),
+        grid=(b, h, n // bn),  # n-block innermost: dk block accumulates in VMEM
+        in_specs=[
+            pl.BlockSpec((1, 1, bo, X, d), lambda i, hh, j: (i, hh, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, X), lambda i, hh, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn, t_pad), lambda i, hh, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bo, X, d), lambda i, hh, j: (i, hh, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, O, X, d), t.dtype),  # t's own layout
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),  # accumulated
+        ],
+        interpret=interpret,
+    )(t, ww, kh, gp)
+
+    dk = dk[:, :, :tt].transpose(0, 2, 1, 3).astype(kh.dtype)
+    return dt, jnp.zeros_like(ww), dk
+
+
+_capture_core_fused.defvjp(_capture_fused_fwd, _capture_fused_bwd)
+
+
+def capture_attention_fused(
+    t: jnp.ndarray,
+    ww: jnp.ndarray,
+    k: jnp.ndarray,
+    scale: float,
+    interpret: bool = False,
+    mesh=None,
+    precise_bwd: bool = False,
+):
+    """Fused-upsample capture: t [B, H, O, X, D] (row-resized queries),
+    ww [P, X] (column-resize matrix), k [B, T, H, D] -> [B, O*P, T] fp32
+    head-mean softmax. Same shard_map strategy as `capture_attention`."""
+    b, h, O, X, d = t.shape
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P_
+
+        n_data = mesh.shape.get("data", 1)
+        n_model = mesh.shape.get("model", 1)
+        if b % n_data == 0 and h % n_model == 0:
+            def local(ts, wws, ks):
+                part = _capture_core_fused(ts, wws, ks, scale, interpret, h, precise_bwd)
+                if n_model > 1:
+                    part = jax.lax.psum(part, "model")
+                return part
+
+            return jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(
+                    P_("data", "model", None, None, None),
+                    P_(None, None),
+                    P_("data", None, "model", None),
+                ),
+                out_specs=P_("data", None, None),
+                check_vma=False,
+            )(t, ww, k)
+    return _capture_core_fused(t, ww, k, scale, interpret, h, precise_bwd)
 
 
 def capture_attention(

@@ -319,18 +319,35 @@ class CrossAttention(nn.Module):
             # up to fp order.
             s = int(round(math.sqrt(n)))
             q5 = q.reshape(b, s, s, self.heads, self.dim_head)
-            # head-major [B, H, res^2, D]: the resize matmuls emit the
-            # kernel's layout directly (no strided relayout of the 16384-
-            # query tensor in either direction of the step)
-            q_up = upsample_bicubic_headmajor(q5, capture_res, capture_res)
-            if self.pallas_capture:
-                from stablekeypoints_tpu.kernels.attn_capture import capture_attention
+            from stablekeypoints_tpu.kernels.attn_capture import (
+                capture_attention,
+                capture_attention_fused,
+                fused_capture_ok,
+            )
 
+            if self.pallas_capture and fused_capture_ok(capture_res, capture_res):
+                # row-resize to [B, H, O, X, D] (42 MB at 128^2/1280ch); the
+                # column resize runs INSIDE the kernel, so the upsampled
+                # [B, H, O*P, D] queries (336 MB + a full relayout each
+                # direction) are never materialized — same taps/weights as
+                # upsample_bicubic_headmajor, fp-order only
+                from stablekeypoints_tpu.ops.resize import resize_matrix
+
+                wh = resize_matrix(s, capture_res, "bicubic").astype(q.dtype)
+                ww = resize_matrix(s, capture_res, "bicubic").astype(q.dtype)
+                t = jnp.einsum("Oy,byxkd->bkOxd", wh, q5)
+                capture = capture_attention_fused(
+                    t, ww, k, scale, self.pallas_interpret, mesh=self.mesh,
+                    precise_bwd=self.capture_fp32_bwd,
+                )
+            elif self.pallas_capture:
+                q_up = upsample_bicubic_headmajor(q5, capture_res, capture_res)
                 capture = capture_attention(
                     q_up, k, scale, self.pallas_interpret, mesh=self.mesh,
                     precise_bwd=self.capture_fp32_bwd,
                 )
             else:
+                q_up = upsample_bicubic_headmajor(q5, capture_res, capture_res)
                 sim_up = jnp.einsum(
                     "bhnd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
                 )

@@ -129,6 +129,73 @@ def test_backward_bf16_close_to_reference():
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-2)
 
 
+def _fused_inputs(b=1, s=4, res=16, h=2, d=16, t=20, seed=3):
+    """Row-resized t + column matrix + k, and the equivalent upsampled q."""
+    from stablekeypoints_tpu.ops.resize import resize_matrix, upsample_bicubic_headmajor
+
+    kq, kk = jax.random.split(jax.random.PRNGKey(seed))
+    q5 = jax.random.normal(kq, (b, s, s, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, t, h, d), jnp.float32)
+    wh = resize_matrix(s, res, "bicubic")
+    tt = jnp.einsum("Oy,byxkd->bkOxd", wh, q5)
+    q_up = upsample_bicubic_headmajor(q5, res, res)
+    return tt, wh, k, q_up
+
+
+def test_fused_forward_matches_unfused():
+    """The in-kernel column resize must reproduce resize-then-capture."""
+    from stablekeypoints_tpu.kernels.attn_capture import (
+        capture_attention_fused,
+        fused_capture_ok,
+    )
+
+    assert fused_capture_ok(128, 128) and fused_capture_ok(16, 16)
+    tt, ww, k, q_up = _fused_inputs()
+    scale = 0.25
+    got = capture_attention_fused(tt, ww, k, scale, interpret=True)
+    want = capture_attention(q_up, k, scale, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_fused_backward_matches_unfused():
+    """d(loss)/d(t) and d(loss)/d(k) through the fused kernel must equal
+    the unfused path's gradients chained through the column resize."""
+    from stablekeypoints_tpu.kernels.attn_capture import capture_attention_fused
+
+    tt, ww, k, _ = _fused_inputs()
+    scale = 0.25
+    cot = jax.random.normal(jax.random.PRNGKey(4), (1, 256, 20), jnp.float32)
+
+    def loss_fused(tt, k):
+        return jnp.sum(capture_attention_fused(tt, ww, k, scale, interpret=True) * cot)
+
+    def loss_unfused(tt, k):
+        # column resize outside the kernel (o-major order matches _build_q)
+        q = jnp.einsum("Px,bkOxd->bkOPd", ww, tt)
+        q = q.reshape(tt.shape[0], tt.shape[1], -1, tt.shape[-1])
+        return jnp.sum(capture_attention(q, k, scale, True) * cot)
+
+    gt1, gk1 = jax.grad(loss_fused, argnums=(0, 1))(tt, k)
+    gt2, gk2 = jax.grad(loss_unfused, argnums=(0, 1))(tt, k)
+    np.testing.assert_allclose(np.asarray(gt1), np.asarray(gt2), atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk2), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_shard_map_matches_replicated():
+    from stablekeypoints_tpu.kernels.attn_capture import capture_attention_fused
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+
+    tt, ww, k, _ = _fused_inputs(b=8, h=2)
+    mesh = pmesh.make_mesh(4, 2)
+    a = np.asarray(capture_attention_fused(tt, ww, k, 0.25, interpret=True))
+    bb = np.asarray(
+        jax.jit(
+            lambda tt, k: capture_attention_fused(tt, ww, k, 0.25, True, mesh=mesh)
+        )(tt, k)
+    )
+    np.testing.assert_allclose(a, bb, atol=1e-5)
+
+
 def test_backward_precise_bwd_tight_parity():
     """precise_bwd=True keeps dsim fp32 through the backward contractions —
     with bf16 inputs the kernel must match the einsum fallback on the same
