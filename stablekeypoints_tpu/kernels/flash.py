@@ -81,20 +81,27 @@ def flash_self_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     n, m = qt.shape[2], kt.shape[2]
-    bq = min(512, n)
-    bk = min(512, m)
+    # On-chip sweep (v5e, B8/H8, bf16, fwd+bwd): 1024 fwd blocks beat 512 at
+    # both live shapes (N4096/D40: 22.1 -> 20.0 ms; N1024/D80: 3.22 -> 3.15);
+    # in the backward, large dq/dkv *query* blocks pay only at long seq
+    # (dkvq1024 won at N4096, lost at N1024) and dkv *key* blocks at 512
+    # always won. 2048 blocks fail to compile (VMEM).
+    bq = min(1024, n)
+    bk = min(1024, m)
+    bqd = min(1024, n) if n >= 4096 else min(512, n)
+    bkd = min(512, m)
     sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,
         block_k=bk,
         block_b=1,
-        block_q_major_dkv=bq,
-        block_k_major_dkv=bk,
-        block_k_dkv=bk,
-        block_q_dkv=bq,
-        block_k_major_dq=bk,
-        block_k_dq=bk,
-        block_q_dq=bq,
+        block_q_major_dkv=bqd,
+        block_k_major_dkv=bkd,
+        block_k_dkv=bkd,
+        block_q_dkv=bqd,
+        block_k_major_dq=bkd,
+        block_k_dq=bkd,
+        block_q_dq=bqd,
     )
     out = flash_attention(qt, kt, vt, sm_scale=scale, block_sizes=sizes)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
@@ -138,7 +145,10 @@ def flash_cross_attention(
         q=jnp.ones((b, n), jnp.int32),
         kv=(jnp.arange(m_pad, dtype=jnp.int32) < m).astype(jnp.int32)[None].repeat(b, 0),
     )
-    bq = min(512, n)
+    # On-chip sweep (B8/H8, kv 500->512, bf16, fwd+bwd): big query blocks win
+    # when kv is one tile — N4096/D40: 6.03 (bq512) -> 5.75 ms (bq2048);
+    # N1024/D80: 2.66 -> 2.62 (bq1024). kv-side blocks stay at the padded tile.
+    bq = min(2048, n)
     bk = min(512, m_pad)
     sizes = BlockSizes(
         block_q=bq,
