@@ -24,17 +24,25 @@ import jax.numpy as jnp
 __all__ = ["conv3x3_spatial_split", "auto_split_parts"]
 
 
-def auto_split_parts(batch: int, h_out: int) -> int:
+def auto_split_parts(batch: int, h_out: int, stride: int = 1) -> int:
     """Parts targeting an effective conv batch of 8 (>=4 at small spatial),
     slabs >= 32 rows, h_out % parts == 0. Returns 1 when the batch is
-    already >= 4 (measured to run at the batched rate) or spatial < 128."""
-    if batch >= 4 or h_out < 128:
+    already at the batched rate or spatial < 128.
+
+    Stride-2 convs are batch-starved up to batch 4 (v5e sweep, bf16: the
+    512^2/C128 downsample runs 4.37 ms at B4/parts1 vs 3.13 at parts4, and
+    256^2/C256 3.06 -> 2.21), but splitting at B8 makes them slower
+    (3.07 -> 5.7); stride-1 convs already hit the batched rate at B4. Hence
+    the per-stride batch threshold."""
+    batched_rate_at = 8 if stride == 2 else 4
+    target = 16 if stride == 2 else 8  # B4/parts4 edged out parts2 at 512^2
+    if batch >= batched_rate_at or h_out < 128:
         return 1
     best = 1
     for cand in (2, 4, 8):
         if h_out % cand == 0 and h_out // cand >= 32 and batch * cand <= 16:
             best = cand
-            if batch * cand >= 8:
+            if batch * cand >= target:
                 break
     return best
 
@@ -55,7 +63,7 @@ def conv3x3_spatial_split(
     pt, pb = pad_h
     h_out = (h + pt + pb - 3) // stride + 1
     if parts is None:
-        parts = auto_split_parts(b, h_out)
+        parts = auto_split_parts(b, h_out, stride)
     if cin < 64:
         # few-channel arrays are lane-padded on TPU (3 -> 128): the slab
         # slice/concat would move 43x the logical bytes; the conv itself is

@@ -48,6 +48,11 @@ def test_auto_parts_gate():
     assert auto_split_parts(1, 1024) == 8
     assert auto_split_parts(2, 1024) == 4
     assert auto_split_parts(1, 512) == 8
+    # stride-2 convs are batch-starved up to B4 (measured; see docstring)
+    assert auto_split_parts(4, 256, stride=2) == 4
+    assert auto_split_parts(4, 512, stride=2) == 4
+    assert auto_split_parts(8, 256, stride=2) == 1
+    assert auto_split_parts(4, 256, stride=1) == 1
 
 
 def test_gradients_match_plain_conv():
