@@ -30,6 +30,7 @@ __all__ = [
     "warp_affine_mxu",
     "apply_affine",
     "apply_inverse_affine",
+    "apply_affine_fill",
 ]
 
 
@@ -264,7 +265,10 @@ def warp_affine(
     compile both branches.
     """
     b, h, w, c = img.shape
-    tile, window = 64, 128
+    # (tile, window) by spatial size: 64/128 for images, 32/64 for the 64^2
+    # VAE latent grid (latent-space warps); the window-covers-tile bound
+    # below guards both
+    tile, window = (64, 128) if h >= 128 else (32, 64)
     if (
         max_row_sum is not None
         and h == w
@@ -298,3 +302,24 @@ def apply_inverse_affine(
         invert_theta(theta),
         None if params is None else params.max_row_sum(inverse=True),
     )
+
+
+def apply_affine_fill(
+    img: jnp.ndarray,
+    theta: jnp.ndarray,
+    fill: jnp.ndarray,
+    params: Optional[AffineParams] = None,
+) -> jnp.ndarray:
+    """Forward warp with a per-channel constant fill outside the source frame.
+
+    grid_sample zero-pads out-of-frame taps (invertable_transform.py:64-70);
+    this warps an extra all-ones coverage channel with the image and adds
+    `fill * (1 - coverage)`, so fully-outside pixels read `fill` and edge
+    pixels blend linearly — the behavior a constant-`fill` border mode would
+    give. Used by the latent-space warp, whose natural border value is the
+    black-image latent rather than 0."""
+    b, h, w, c = img.shape
+    mask = jnp.ones((b, h, w, 1), img.dtype)
+    out = apply_affine(jnp.concatenate([img, mask], axis=-1), theta, params=params)
+    fill = jnp.asarray(fill, out.dtype).reshape(1, 1, 1, c)
+    return out[..., :c] + (1.0 - out[..., c:]) * fill

@@ -194,6 +194,29 @@ class Runtime:
             )
         )
 
+    @functools.cached_property
+    def black_latent(self) -> jnp.ndarray:
+        """Per-channel VAE latent of a black image, [4] fp32 (scaled).
+
+        The reference's affine warp zero-pads images — black borders
+        (invertable_transform.py:64-70). The latent-space warp
+        (cfg.latent_warp) therefore fills out-of-frame latent pixels with
+        the latent a black region encodes to: the center pixel of
+        encode(zeros), constant per channel away from frame edges."""
+        img = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, 3), jnp.float32)
+        lat = jax.jit(self._encode)(self.vae_params, img)
+        return jnp.asarray(lat[0, lat.shape[1] // 2, lat.shape[2] // 2, :])
+
+    def _warp_latents(self, latents: jnp.ndarray, thetas: jnp.ndarray, aff) -> jnp.ndarray:
+        """Latent-space stand-in for encode(warp(image)) (cfg.latent_warp):
+        warp the cached latent with the same normalized-coordinate theta
+        (affine_grid is resolution independent), black-image-latent fill."""
+        from stablekeypoints_tpu.ops.transforms import apply_affine_fill
+
+        return jax.lax.stop_gradient(
+            apply_affine_fill(latents, thetas, self.black_latent, params=aff)
+        )
+
     def _added_cond(self, batch: int, target_size: Optional[int] = None):
         """SDXL micro-conditioning with diffusers-standard values.
 
@@ -292,18 +315,28 @@ class Runtime:
         aff = AffineParams(cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate))
         b = images.shape[0]
         thetas = sample_thetas(k_theta, b, aff)
-        images_t = apply_affine(images, thetas, params=aff)
-        # one merged forward over [orig; warped]: batch ops are independent
-        # per element, so this is mathematically the reference's two
-        # forwards (optimize.py:349-375) with better MXU utilization and
-        # half the dispatches
-        both = jnp.concatenate([images, images_t], axis=0)
-        if latents_orig is None:
-            latents = self._encode(vae_params, both)
-        else:
+        if latents_orig is not None and cfg.latent_warp:
+            # APPROXIMATION (flag-gated): latent-space warp replaces the
+            # warped-image VAE encode entirely on cache-hit steps
             latents = jnp.concatenate(
-                [latents_orig, self._encode(vae_params, images_t)], axis=0
+                [latents_orig, self._warp_latents(latents_orig, thetas, aff)], axis=0
             )
+            # only the leading batch dim is read downstream (latents are
+            # given), so the concat is dead code the compiler drops
+            both = jnp.concatenate([images, images], axis=0)
+        else:
+            images_t = apply_affine(images, thetas, params=aff)
+            # one merged forward over [orig; warped]: batch ops are independent
+            # per element, so this is mathematically the reference's two
+            # forwards (optimize.py:349-375) with better MXU utilization and
+            # half the dispatches
+            both = jnp.concatenate([images, images_t], axis=0)
+            if latents_orig is None:
+                latents = self._encode(vae_params, both)
+            else:
+                latents = jnp.concatenate(
+                    [latents_orig, self._encode(vae_params, images_t)], axis=0
+                )
 
         def loss_fn(ctx):
             maps_all = self._attn_maps(
@@ -453,12 +486,25 @@ class Runtime:
             cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
         )
         thetas = sample_thetas(k_theta, m * n, aff)
-        imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas, params=aff)
+        if cfg.latent_warp:
+            # APPROXIMATION (flag-gated): encode each test image ONCE and
+            # warp its latent per view — drops augmentation_iterations-1
+            # VAE encodes per image from the ensemble
+            lats = self._encode(vae_params, images)
+            view_latents = self._warp_latents(
+                jnp.repeat(lats, n, axis=0), thetas, aff
+            )
+            view_latents = jax.lax.with_sharding_constraint(view_latents, data)
+            # downstream only reads the views' leading batch dim
+            imgs_t = jnp.repeat(images, n, axis=0)
+        else:
+            view_latents = None
+            imgs_t = apply_affine(jnp.repeat(images, n, axis=0), thetas, params=aff)
         imgs_t = jax.lax.with_sharding_constraint(imgs_t, data)
 
         from stablekeypoints_tpu.ops.transforms import apply_inverse_affine
 
-        def views_to_warped(imgs_c, thetas_c, key_c, in_loop):
+        def views_to_warped(imgs_c, thetas_c, key_c, in_loop, latents_c=None):
             """views -> inverse-warped [*, k+1, E, E]: one warp for maps AND
             the view-count mask (the all-ones mask rides as an extra NHWC
             channel); the static params bound routes it onto the MXU path.
@@ -466,7 +512,7 @@ class Runtime:
             kernel-free VAE is a while-body workaround, not a default."""
             maps = self._attn_maps(
                 unet_params, vae_params, imgs_c, context, key_c, ens, indices, True,
-                in_loop=in_loop,
+                in_loop=in_loop, latents=latents_c,
             )  # [*, k, E, E]
             kk = maps.shape[1]
             stacked = jnp.concatenate(
@@ -484,19 +530,33 @@ class Runtime:
             v,
         )
         if chunk == v:
-            warped = views_to_warped(imgs_t, thetas, k_noise, False)
+            warped = views_to_warped(imgs_t, thetas, k_noise, False, view_latents)
         else:
             nc = v // chunk
-            warped = jax.lax.map(
-                lambda args: views_to_warped(*args, True),
-                (
-                    imgs_t.reshape(nc, chunk, *imgs_t.shape[1:]),
-                    thetas.reshape(nc, chunk, 2, 3),
-                    jax.vmap(lambda i: jax.random.fold_in(k_noise, i))(
-                        jnp.arange(nc)
+            keys_c = jax.vmap(lambda i: jax.random.fold_in(k_noise, i))(
+                jnp.arange(nc)
+            )
+            if view_latents is None:
+                warped = jax.lax.map(
+                    lambda args: views_to_warped(*args, True),
+                    (
+                        imgs_t.reshape(nc, chunk, *imgs_t.shape[1:]),
+                        thetas.reshape(nc, chunk, 2, 3),
+                        keys_c,
                     ),
-                ),
-            ).reshape(v, -1, ens, ens)
+                ).reshape(v, -1, ens, ens)
+            else:
+                warped = jax.lax.map(
+                    lambda args: views_to_warped(
+                        args[0], args[1], args[2], True, latents_c=args[3]
+                    ),
+                    (
+                        imgs_t.reshape(nc, chunk, *imgs_t.shape[1:]),
+                        thetas.reshape(nc, chunk, 2, 3),
+                        keys_c,
+                        view_latents.reshape(nc, chunk, *view_latents.shape[1:]),
+                    ),
+                ).reshape(v, -1, ens, ens)
         kk = warped.shape[1] - 1
         warped = warped.reshape(m, n, kk + 1, ens, ens).sum(axis=1)
         tot, num = warped[:, :kk], warped[:, kk:]

@@ -111,6 +111,55 @@ def phase_capture_sanity(model_path: str, image_size: int) -> bool:
     return ok
 
 
+def phase_latent_warp(model_path: str, image_size: int) -> bool:
+    """Closeness of the latent-space warp approximation (cfg.latent_warp)
+    on the REAL encoder: warp(encode(img)) vs encode(warp(img)) over the
+    reference augmentation draw. Trained VAE filters are near affine-
+    equivariant (random-init ones are not — see tests/test_latent_warp.py);
+    this prints the interior relative error + correlation. ADVISORY (never
+    fails the run): it informs whether --latent_warp is safe to enable for
+    a given checkpoint, not whether the build is correct."""
+    import jax
+    import jax.numpy as jnp
+
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.ops.transforms import (
+        AffineParams,
+        apply_affine,
+        sample_thetas,
+    )
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    cfg = Config(
+        dataset_name="synthetic", model_path=model_path, image_size=image_size,
+        latent_warp=True,
+    )
+    rt = Runtime.create(cfg)
+    rng = np.random.default_rng(1)
+    imgs = jnp.asarray(
+        rng.uniform(0, 1, (4, image_size, image_size, 3)), jnp.float32
+    )
+    aff = AffineParams(
+        cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+    )
+    thetas = sample_thetas(jax.random.PRNGKey(2), 4, aff)
+    lat = rt.encode_images_fn(imgs)
+    approx = np.asarray(rt._warp_latents(lat, thetas, aff))
+    exact = np.asarray(rt.encode_images_fn(apply_affine(imgs, thetas, params=aff)))
+    m = max(2, exact.shape[1] // 8)
+    a, b = approx[:, m:-m, m:-m], exact[:, m:-m, m:-m]
+    rel = float(np.abs(a - b).mean() / (np.abs(b).mean() + 1e-6))
+    corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+    ok = corr > 0.9
+    print(
+        json.dumps(
+            {"phase": "latent_warp", "interior_rel_err": round(rel, 4),
+             "corr": round(corr, 4), "flag_recommended": ok}
+        )
+    )
+    return True if ok else None  # None = advisory, never fails the run
+
+
 def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> bool:
     from stablekeypoints_tpu.config import Config, apply_preset
     from stablekeypoints_tpu import main as cli
@@ -163,6 +212,7 @@ def main():
             args.model_path, args.image_size
         )
     results["capture_sanity"] = phase_capture_sanity(args.model_path, args.image_size)
+    results["latent_warp"] = phase_latent_warp(args.model_path, args.image_size)
     if args.dataset_loc:
         results["celeba"] = phase_celeba(
             args.model_path, args.dataset_loc, args.steps, args.wild
