@@ -315,6 +315,17 @@ class Runtime:
         aff = AffineParams(cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate))
         b = images.shape[0]
         thetas = sample_thetas(k_theta, b, aff)
+        # The [orig; warped] BLOCK concat is deliberate (an interleaved
+        # pair layout was built and measured worse): under a 'data'-sharded
+        # mesh, pairing orig_i with warped_i in the equivariance loss is
+        # cross-device here, but GSPMD resolves it by collective-permuting
+        # the EARLIEST (latent/hidden-sized, ~KBs) tensors in the chain,
+        # never the capture maps — while explicit interleaving forced
+        # stack/reshape copies (-1.2% hit) and split the merged cache-miss
+        # VAE encode into two half-batch encodes to keep hit/miss steps
+        # bit-equivalent (-14% fill, conv efficiency drops with batch).
+        # Measurement + communication table: tools/scaling_study.py,
+        # STATUS.md round 3.
         if latents_orig is not None and cfg.latent_warp:
             # APPROXIMATION (flag-gated): latent-space warp replaces the
             # warped-image VAE encode entirely on cache-hit steps

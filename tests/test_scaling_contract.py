@@ -1,0 +1,78 @@
+"""Multi-chip communication contract (compiled-HLO level).
+
+The scaling evidence lives in tools/scaling_study.py (full mesh sweep);
+this test pins its core invariant on one DP mesh so regressions that
+reintroduce cross-device traffic into the training step are caught in CI:
+
+  * a dp-sharded training step runs ONE reduction — the fused
+    context-gradient + scalar-metric all-reduce (payload ~= the fp32
+    context gradient) — and never an all-gather / reduce-scatter
+    (nothing gathers weights), and
+  * the orig/warped pairing of the equivariance loss costs at most a
+    handful of hidden-sized collective-permutes. The [orig; warped]
+    block concat is the committed layout: GSPMD permutes input-adjacent
+    tensors, and the explicit interleaved-pair alternative measured
+    -1.2% (hit) / -14% (fill) on-chip (STATUS.md round 3).
+
+Reference analog: none (single-process nn.DataParallel with an implicit
+device-0 gather, reference optimize_token.py:41-56 / optimize.py:405-406).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from stablekeypoints_tpu.config import Config
+from stablekeypoints_tpu.models.unet import tiny_unet_config
+from stablekeypoints_tpu.models.vae import tiny_vae_config
+from stablekeypoints_tpu.parallel import mesh as pmesh
+from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+
+@pytest.mark.slow
+def test_dp_step_communicates_only_the_gradient():
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from scaling_study import collective_stats
+
+    devices = jax.devices("cpu")[:2]
+    if len(devices) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = pmesh.make_mesh(2, 1, devices=devices)
+    cfg = Config(
+        dataset_name="synthetic",
+        image_size=64,
+        num_tokens=16,
+        feature_upsample_res=16,
+        batch_size=4,
+        furthest_point_num_samples=8,
+        top_k=4,
+        dtype="float32",
+    )
+    with jax.default_device(devices[0]):
+        rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config(), mesh=mesh)
+        images = pmesh.shard_batch(
+            mesh,
+            np.random.default_rng(0).uniform(0, 1, (4, 64, 64, 3)).astype(np.float32),
+        )
+        context = rt.init_context()
+        opt_state = jax.device_put(rt.optimizer.init(context), pmesh.replicated(mesh))
+        key = jax.device_put(jax.random.PRNGKey(0), pmesh.replicated(mesh))
+        step = rt.train_step
+        hlo = step.func.lower(*step.args, context, opt_state, images, key).compile().as_text()
+
+    stats = collective_stats(hlo)
+    ctx_grad_bytes = int(np.prod(np.asarray(context).shape)) * 4
+    assert stats["all-gather"]["count"] == 0, stats
+    assert stats["reduce-scatter"]["count"] == 0, stats
+    assert stats["collective-permute"]["count"] <= 12, (
+        "DP training step grew cross-device traffic: the orig/warped "
+        "pairing should cost a handful of hidden-sized permutes, not a "
+        "per-layer cascade",
+        stats,
+    )
+    assert stats["all-reduce"]["count"] == 1, stats
+    assert 0 < stats["all-reduce"]["bytes"] <= 2 * ctx_grad_bytes + 4096, (
+        stats, ctx_grad_bytes,
+    )

@@ -30,10 +30,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--m", type=int, default=4, help="images per batch")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--latent_warp", action="store_true",
+                    help="APPROXIMATION ablation: one encode per image, "
+                    "views warped in latent space")
     args = ap.parse_args()
 
     cfg = Config(dataset_name="synthetic", image_size=512, num_tokens=500,
-                 eval_batch_images=args.m, dtype="bfloat16")
+                 eval_batch_images=args.m, dtype="bfloat16",
+                 latent_warp=args.latent_warp)
     rt = Runtime.create(cfg)
     rng = np.random.default_rng(0)
     images = rng.uniform(0, 1, (args.m, 512, 512, 3)).astype(np.float32)
@@ -50,7 +54,7 @@ def main():
     dt = (time.perf_counter() - t0) / (args.iters * args.m)
     print(f"detect_batch: {dt:.3f} s/image (M={args.m}, "
           f"{cfg.augmentation_iterations} views, 512^2, ensemble_res="
-          f"{cfg.eval_ensemble_res})")
+          f"{cfg.eval_ensemble_res}, latent_warp={cfg.latent_warp})")
 
 
 if __name__ == "__main__":
