@@ -322,7 +322,12 @@ def test_sdxl_added_cond_conversion_matches_torch_forward():
             "time_ids": torch.from_numpy(time_ids),
         },
     ).numpy()
-    np.testing.assert_allclose(got, want, atol=1e-4)
+    # 1e-3, not the 1e-4 of the shallower tests: the tiny-SDXL topology is
+    # depth (1,2,10) (~40 matmul/norm layers), and fp32 accumulation order
+    # on CPU depends on how Eigen/XLA carve matmuls across the threads
+    # available at run time — under a loaded machine the same weights
+    # drift ~5e-4 from the torch oracle. A conversion bug is O(1).
+    np.testing.assert_allclose(got, want, atol=1e-3)
     # and the zeros default (no added_cond) must equal explicit zeros —
     # i.e. the add-embedding branch is active, not skipped, by default
     eps_default, _ = model.apply(
@@ -333,7 +338,7 @@ def test_sdxl_added_cond_conversion_matches_torch_forward():
         torch.from_numpy(ts), torch.from_numpy(ctx),
     ).numpy()
     np.testing.assert_allclose(
-        np.asarray(eps_default).transpose(0, 3, 1, 2), want_default, atol=1e-4
+        np.asarray(eps_default).transpose(0, 3, 1, 2), want_default, atol=1e-3
     )
 
 
