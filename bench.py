@@ -163,6 +163,11 @@ def main():
     headline = results.get("hit", results.get("fill"))
     per_chip = headline[0]
     name = "sdxl" if sdxl else "sd15"
+    steady = (
+        "latent-cache-hit steady state = multi-epoch workloads"
+        if "hit" in results
+        else "cache-miss/fill path = single-epoch workloads"
+    )
 
     def mfu(entry):
         sps, fl = entry
@@ -175,7 +180,7 @@ def main():
         "value": round(per_chip, 4),
         "unit": f"steps/s/chip (batch {batch}, {num_tokens} tokens, "
         f"{cfg.feature_upsample_res}^2 capture, {image_size}^2 images; "
-        "latent-cache-hit steady state = multi-epoch workloads)",
+        f"{steady})",
         "vs_baseline": round(per_chip / REFERENCE_A100_STEPS_PER_SEC, 2),
         "baseline_note": "A100 ref derived at 0.6 steps/s (BASELINE.md); "
         "reference publishes no numbers",
@@ -186,7 +191,7 @@ def main():
     if mfu(headline) is not None:
         out["mfu"] = mfu(headline)
         out["flops_per_step"] = headline[1]
-        if "fill" in results and mfu(results["fill"]) is not None:
+        if "fill" in results and "hit" in results and mfu(results["fill"]) is not None:
             out["mfu_fill"] = mfu(results["fill"])
     print(json.dumps(out))
 

@@ -100,12 +100,14 @@ class Config:
     # (e.g. 128) warp at capture resolution and upsample the average,
     # trading exact argmax parity for ~3x faster evaluation
     eval_ensemble_res: int = -1
-    # APPROXIMATION (off by default): on latent-cache-hit training steps and
-    # in the stage-3/5 test-time ensemble, warp the cached VAE latent with
-    # the step's affine instead of encoding the warped image (the VAE is
-    # only approximately affine-equivariant; borders are filled with the
-    # black-image latent). Removes every per-view/per-step VAE encode from
-    # the steady state. Validate per-dataset before relying on metrics.
+    # APPROXIMATION (off by default): warp the original image's VAE latent
+    # with the step's affine instead of encoding the warped image (the VAE
+    # is only approximately affine-equivariant; borders are filled with
+    # the black-image latent). Applies to every training step (cache-hit:
+    # warp the cached latent; cache-miss: encode the original once, warp
+    # its latent) and to the stage-3/5 test-time ensemble (one encode per
+    # image instead of one per view). Validate per-dataset before relying
+    # on metrics.
     latent_warp: bool = False
     # adapter image loads: off = PIL (reference-exact resizes); auto = native
     # libjpeg decode only when bit-identical (file already target-sized);

@@ -178,6 +178,8 @@ class Runtime:
             jax.device_put(vae_params, pmesh.replicated(mesh)),
             DDIMSchedule.create(), mesh, vae_loop,
         )
+        if cfg.latent_warp:
+            rt.black_latent  # eager precompute; see the property's docstring
         return rt
 
     # ------------------------------------------------------------------
@@ -202,10 +204,26 @@ class Runtime:
         (invertable_transform.py:64-70). The latent-space warp
         (cfg.latent_warp) therefore fills out-of-frame latent pixels with
         the latent a black region encodes to: the center pixel of
-        encode(zeros), constant per channel away from frame edges."""
+        encode(zeros), constant per channel away from frame edges.
+
+        Precomputed at Runtime.create when cfg.latent_warp is on: a
+        cached_property first touched during a jit trace would cache a
+        tracer and poison every later trace of a different step function
+        (and an in-trace eager fallback cannot evaluate the Pallas
+        GroupNorm kernel, which has no eager rule)."""
+        from jax._src import core as _src_core
+
+        if not _src_core.trace_state_clean():  # pragma: no cover - guarded by create()
+            raise RuntimeError(
+                "black_latent first touched inside a jit trace; construct "
+                "the Runtime with cfg.latent_warp=True so create() "
+                "precomputes it eagerly"
+            )
         img = jnp.zeros((1, self.cfg.image_size, self.cfg.image_size, 3), jnp.float32)
         lat = jax.jit(self._encode)(self.vae_params, img)
-        return jnp.asarray(lat[0, lat.shape[1] // 2, lat.shape[2] // 2, :])
+        return jnp.asarray(
+            np.asarray(lat[0, lat.shape[1] // 2, lat.shape[2] // 2, :])
+        )
 
     def _warp_latents(self, latents: jnp.ndarray, thetas: jnp.ndarray, aff) -> jnp.ndarray:
         """Latent-space stand-in for encode(warp(image)) (cfg.latent_warp):
@@ -326,9 +344,15 @@ class Runtime:
         # bit-equivalent (-14% fill, conv efficiency drops with batch).
         # Measurement + communication table: tools/scaling_study.py,
         # STATUS.md round 3.
-        if latents_orig is not None and cfg.latent_warp:
+        if cfg.latent_warp:
             # APPROXIMATION (flag-gated): latent-space warp replaces the
-            # warped-image VAE encode entirely on cache-hit steps
+            # warped-image VAE encode entirely — on cache-hit steps the
+            # cached original latent is warped; on cache-miss steps the
+            # original is encoded once (unavoidable; also returned to fill
+            # the cache) and its latent warped, so the single-epoch
+            # flagship workload (~all misses) drops one encode per step too
+            if latents_orig is None:
+                latents_orig = self._encode(vae_params, images)
             latents = jnp.concatenate(
                 [latents_orig, self._warp_latents(latents_orig, thetas, aff)], axis=0
             )

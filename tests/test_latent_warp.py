@@ -148,6 +148,38 @@ def test_encoder_translation_equivariance_direction(warp_runtime):
 
 
 @pytest.mark.slow
+def test_fill_step_latent_warp_consistent_with_cached(warp_runtime):
+    """Cache-miss (train_step_fill) and cache-hit (train_step_cached) steps
+    with latent_warp on must be bit-equivalent given the same images: the
+    miss path encodes the original in-step and warps that latent, the hit
+    path warps the cached latent of the same encode. Also checks the
+    returned fill latents are the ORIGINAL-image latents (what the cache
+    must store), not the warped ones."""
+    rt = warp_runtime
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)), jnp.float32)
+
+    ctx0 = rt.init_context()
+    ctx_fill, _, _, m_fill, lat_fill = rt.train_step_fill(
+        ctx0, rt.optimizer.init(ctx0), imgs, jax.random.PRNGKey(11)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lat_fill), np.asarray(rt.encode_images_fn(imgs)), atol=1e-6
+    )
+
+    ctx1 = rt.init_context()
+    ctx_hit, _, _, m_hit = rt.train_step_cached(
+        ctx1, rt.optimizer.init(ctx1), lat_fill, imgs, jax.random.PRNGKey(11)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ctx_fill), np.asarray(ctx_hit), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m_fill["loss"]), float(m_hit["loss"]), atol=1e-6
+    )
+
+
+@pytest.mark.slow
 def test_train_step_latent_warp_runs_and_tracks_exact(warp_runtime):
     rt = warp_runtime
     rng = np.random.default_rng(5)

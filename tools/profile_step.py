@@ -1,10 +1,12 @@
 """Capture an on-chip profile of the stage-1 train step and print top ops.
 
 Runs the same workload as bench.py (SD-1.5, 512^2, 500 tokens, 128^2 capture,
-batch 4, latent cache on) under jax.profiler, then parses the xplane trace
-with tensorflow's profiler protos and prints the top-k ops by self time.
+batch 4, latent cache on — or SDXL 1024^2 batch 1 with --model sdxl) under
+jax.profiler, then parses the xplane trace with tensorflow's profiler protos
+and prints the top-k ops by self time.
 
-Usage: python tools/profile_step.py [--steps 5] [--top 40]
+Usage: python tools/profile_step.py [--steps 5] [--top 40] [--model sdxl]
+       [--cache 0] [--latent_warp]
 """
 
 from __future__ import annotations
@@ -42,20 +44,28 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/skt_profile")
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--cache", type=int, default=1)
+    ap.add_argument("--model", default="sd15", choices=("sd15", "sdxl"))
+    ap.add_argument("--latent_warp", action="store_true")
     args = ap.parse_args()
 
+    sdxl = args.model == "sdxl"
+    if args.batch is None:
+        args.batch = 1 if sdxl else 4
+    image_size = 1024 if sdxl else 512
     cfg = Config(
         dataset_name="synthetic",
-        image_size=512,
+        model_type="sdxl" if sdxl else Config.model_type,
+        image_size=image_size,
         num_tokens=500,
         batch_size=args.batch,
         dtype="bfloat16",
+        latent_warp=args.latent_warp,
     )
     runtime = Runtime.create(cfg)
     rng = np.random.default_rng(0)
-    images = rng.uniform(0, 1, size=(args.batch, 512, 512, 3)).astype(np.float32)
+    images = rng.uniform(0, 1, size=(args.batch, image_size, image_size, 3)).astype(np.float32)
     images = pmesh.shard_batch(runtime.mesh, images)
     context = runtime.init_context()
     opt_state = jax.device_put(
