@@ -107,11 +107,19 @@ def _fused_impl(x, scale, bias, groups, eps, act, interpret):
     a = inv_c * scale.astype(jnp.float32)[None]
     bc = bias.astype(jnp.float32)[None] - mean_c * a
 
-    # the APPLY stays in jnp: XLA fuses convert*a+b(+silu)+downcast into one
+    # the APPLY stays in jnp: XLA fuses the a*x+b(+silu) into one
     # elementwise pass, and — unlike a custom-call result — that fusion's
     # output can adopt the consumer conv's preferred layout (a pallas apply
-    # measurably doubled the adjacent VAE convs' time)
-    y = x.astype(jnp.float32) * a[:, None, None, :] + bc[:, None, None, :]
+    # measurably doubled the adjacent VAE convs' time). It runs in x.dtype:
+    # the per-channel affine (a, bc) is computed in fp32 above and rounded
+    # once per [B, C] — at 1024^2 XLA materialized the x->fp32 convert as a
+    # standalone 19 ms op per layer instead of fusing it (SDXL profile,
+    # STATUS round 3), and the surrounding VAE already computes in bf16, so
+    # an fp32 elementwise intermediate adds cost without adding accuracy
+    # (this VAE path is forward-only; the VJP uses the exact jnp reference).
+    a = a.astype(x.dtype)[:, None, None, :]
+    bc = bc.astype(x.dtype)[:, None, None, :]
+    y = x * a + bc
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)
