@@ -24,9 +24,22 @@ def test_tensor_parallel_param_specs():
     assert spec == P(None, "model")
     spec = pmesh._param_spec(("up_1", "attentions_0", "blocks_0", "ff", "proj_out", "kernel"))
     assert spec == P("model", None)
-    # convs / norms replicated
-    assert pmesh._param_spec(("down_0", "resnets_0", "conv1", "kernel")) == P()
+    # resblock convs: Megatron pair — conv1 column (out channels), conv2 row
+    # (in channels); time_emb_proj matches conv1's sharded output
+    assert pmesh._param_spec(("down_0", "resnets_0", "conv1", "kernel")) == P(None, None, None, "model")
+    assert pmesh._param_spec(("down_0", "resnets_0", "conv1", "bias")) == P("model")
+    assert pmesh._param_spec(("down_0", "resnets_0", "conv2", "kernel")) == P(None, None, "model", None)
+    assert pmesh._param_spec(("down_0", "resnets_0", "conv2", "bias")) == P()
+    assert pmesh._param_spec(("mid", "resnets_0", "time_emb_proj", "kernel")) == P(None, "model")
+    # norm2 (between the conv pair) sees channel-sharded activations;
+    # norm1 / conv_shortcut / conv_in sit at replicated points
+    assert pmesh._param_spec(("down_0", "resnets_0", "norm2", "scale")) == P("model")
+    assert pmesh._param_spec(("down_0", "resnets_0", "norm2", "bias")) == P("model")
     assert pmesh._param_spec(("down_0", "resnets_0", "norm1", "scale")) == P()
+    assert pmesh._param_spec(("down_0", "resnets_0", "conv_shortcut", "kernel")) == P()
+    assert pmesh._param_spec(("conv_in", "kernel")) == P()
+    # the transformer blocks' LayerNorm 'norm2' must NOT match the resblock rule
+    assert pmesh._param_spec(("up_1", "attentions_0", "blocks_0", "norm2", "scale")) == P()
 
 
 def test_dp_tp_train_step_runs():

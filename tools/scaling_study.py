@@ -142,6 +142,14 @@ def measure(n_data: int, n_model: int) -> dict:
         ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
+        try:
+            ma = compiled.memory_analysis()
+            mem = {
+                "argument_bytes": int(ma.argument_size_in_bytes),
+                "temp_bytes": int(ma.temp_size_in_bytes),
+            }
+        except Exception:
+            mem = {"argument_bytes": None, "temp_bytes": None}
     ctx_grad_bytes = int(np.prod(np.asarray(context).shape)) * 4
     return {
         "mesh": f"{n_data}x{n_model}",
@@ -149,6 +157,11 @@ def measure(n_data: int, n_model: int) -> dict:
         "per_device_flops": float(ca["flops"]),
         "collectives": collective_stats(hlo),
         "context_grad_bytes": ctx_grad_bytes,
+        # per-device memory from the compiled executable: arguments (params +
+        # inputs as sharded) and temporaries (activations/workspace) — the TP
+        # memory-headroom evidence (weights AND resblock activations shrink
+        # with tp under the widened conv sharding)
+        **mem,
     }
 
 
@@ -221,16 +234,19 @@ def main():
     else:
         print(
             f"{'mesh':>6} {'flops/dev':>12} {'AR#':>4} {'AR bytes':>9} "
-            f"{'AG#':>4} {'RS#':>4} {'CP#':>4} {'CP bytes':>9}"
+            f"{'AG#':>4} {'RS#':>4} {'CP#':>4} {'CP bytes':>9} "
+            f"{'arg MB/dev':>10} {'tmp MB/dev':>10}"
         )
         for r in rows:
             c = r["collectives"]
+            mb = lambda x: f"{x / 1e6:.2f}" if x is not None else "n/a"
             print(
                 f"{r['mesh']:>6} {r['per_device_flops']:>12.3e} "
                 f"{c['all-reduce']['count']:>4} {c['all-reduce']['bytes']:>9} "
                 f"{c['all-gather']['count']:>4} {c['reduce-scatter']['count']:>4} "
                 f"{c['collective-permute']['count']:>4} "
-                f"{c['collective-permute']['bytes']:>9}"
+                f"{c['collective-permute']['bytes']:>9} "
+                f"{mb(r['argument_bytes']):>10} {mb(r['temp_bytes']):>10}"
             )
     failures = check(rows)
     if failures:
