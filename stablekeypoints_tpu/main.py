@@ -135,11 +135,19 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return apply_preset(Config(**kw))
 
 
-def run(cfg: Config) -> dict:
+def run(cfg: Config, unet_config=None, vae_config=None) -> dict:
+    """Stages 1-5. `unet_config`/`vae_config` override the model topology
+    (tiny fabricated-checkpoint selftests, tools/validate_real_weights.py
+    --selftest); None = the production configs chosen from cfg.model_type."""
     logger = MetricsLogger(
         cfg.save_folder, cfg.wandb, cfg.wandb_name, config=dataclasses.asdict(cfg)
     )
-    runtime = Runtime.create(cfg)
+    extra = {}
+    if unet_config is not None:
+        extra["unet_config"] = unet_config
+    if vae_config is not None:
+        extra["vae_config"] = vae_config
+    runtime = Runtime.create(cfg, **extra)
     results: dict = {}
 
     def artifact_or(name, compute):

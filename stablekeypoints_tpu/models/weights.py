@@ -458,3 +458,97 @@ def load_unet_params(model_dir: str, config: UNetConfig, dtype=jnp.bfloat16):
 def load_vae_params(model_dir: str, config: VAEConfig, dtype=jnp.bfloat16):
     sd = _load_state_dict(os.path.join(model_dir, "vae"))
     return cast_params(convert_vae_state_dict(sd, config), dtype)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint fabrication (offline testing of the load path)
+#
+# No real checkpoint can enter this zero-egress container, so the disk load
+# path (safetensors/bin reading -> conversion -> Runtime) is exercised
+# against FABRICATED checkpoints: random tensors in the exact diffusers
+# layout, shapes derived by inverting the conversion rules against the Flax
+# shape tree. Used by tests/test_weights_io.py and
+# `tools/validate_real_weights.py --selftest`.
+
+
+def fabricate_state_dict(
+    rules: list[tuple[str, str, str]],
+    flax_shapes,
+    seed: int = 0,
+    conv_scale: float = 1.0,
+) -> dict[str, np.ndarray]:
+    """Random diffusers-layout state dict whose shapes invert `rules`
+    against a Flax `jax.eval_shape` param tree. `conv_scale` damps conv
+    weights (deep random conv stacks blow up fp32 activations otherwise)."""
+    rng = np.random.default_rng(seed)
+    sd: dict[str, np.ndarray] = {}
+    for src, dst, kind in rules:
+        leaf = flax_shapes
+        for p in dst.split("."):
+            if not isinstance(leaf, dict) or p not in leaf:
+                leaf = None
+                break
+            leaf = leaf[p]
+        if leaf is None:  # rule target absent in this topology (no shortcut…)
+            continue
+        shape = tuple(leaf.shape)
+        if kind == "conv":  # HWIO -> OIHW
+            shape = (shape[3], shape[2], shape[0], shape[1])
+        elif kind == "dense":  # [in, out] -> [out, in]
+            shape = (shape[1], shape[0])
+        elif kind == "dense1x1":  # [1, 1, in, out] -> [out, in]
+            shape = (shape[3], shape[2])
+        if dst.endswith(".scale"):
+            val = 1.0 + 0.1 * rng.standard_normal(shape)
+        else:
+            val = 0.2 * rng.standard_normal(shape)
+            if kind == "conv":
+                val = val * conv_scale
+        sd[src] = val.astype(np.float32)
+    return sd
+
+
+def fabricate_checkpoint(
+    model_dir: str,
+    unet_config: UNetConfig,
+    vae_config: VAEConfig,
+    seed: int = 0,
+    fmt: str = "safetensors",
+) -> str:
+    """Write `{model_dir}/{unet,vae}/diffusion_pytorch_model.{safetensors,bin}`
+    with random weights for the given topologies; returns model_dir. The
+    directory then loads through the exact production path
+    (`load_unet_params`/`load_vae_params` via `Runtime.create(model_path=…)`)."""
+    unet = UNet(unet_config, dtype=jnp.float32)
+    shapes = jax.eval_shape(
+        unet.init,
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 16, 16, unet_config.in_channels)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 6, unet_config.context_dim)),
+    )["params"]
+    usd = fabricate_state_dict(unet_conversion_rules(unet_config), shapes, seed)
+    vae = VAE(vae_config, dtype=jnp.float32)
+    vshapes = jax.eval_shape(
+        vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, vae_config.in_channels))
+    )["params"]
+    vsd = fabricate_state_dict(
+        vae_conversion_rules(vae_config), vshapes, seed + 1, conv_scale=0.3
+    )
+    for name, sd in (("unet", usd), ("vae", vsd)):
+        d = os.path.join(model_dir, name)
+        os.makedirs(d, exist_ok=True)
+        if fmt == "safetensors":
+            from safetensors.numpy import save_file
+
+            save_file(sd, os.path.join(d, "diffusion_pytorch_model.safetensors"))
+        elif fmt == "bin":
+            import torch
+
+            torch.save(
+                {k: torch.from_numpy(v) for k, v in sd.items()},
+                os.path.join(d, "diffusion_pytorch_model.bin"),
+            )
+        else:
+            raise ValueError(f"unknown checkpoint format: {fmt}")
+    return model_dir

@@ -36,35 +36,9 @@ from stablekeypoints_tpu.models import weights as W
 pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
 
 
-def _lookup(tree, dotted):
-    node = tree
-    for p in dotted.split("."):
-        if p not in node:
-            return None
-        node = node[p]
-    return node
-
-
-def _fabricate(rules, flax_shapes, seed):
-    rng = np.random.default_rng(seed)
-    sd = {}
-    for src, dst, kind in rules:
-        leaf = _lookup(flax_shapes, dst)
-        if leaf is None:  # rule target not in this topology (e.g. no shortcut)
-            continue
-        shape = tuple(leaf.shape)
-        if kind == "conv":  # HWIO -> OIHW
-            shape = (shape[3], shape[2], shape[0], shape[1])
-        elif kind == "dense":  # [in, out] -> [out, in]
-            shape = (shape[1], shape[0])
-        elif kind == "dense1x1":  # [1, 1, in, out] -> [out, in]
-            shape = (shape[3], shape[2])
-        if dst.endswith(".scale"):
-            val = 1.0 + 0.1 * rng.standard_normal(shape)
-        else:
-            val = 0.2 * rng.standard_normal(shape)
-        sd[src] = val.astype(np.float32)
-    return sd
+# the fabricator lives in the package now (models/weights.py) — it also
+# powers the disk-load tests and `tools/validate_real_weights.py --selftest`
+_fabricate = W.fabricate_state_dict
 
 
 # ---------------------------------------------------------------------------

@@ -85,14 +85,19 @@ def phase_conversion_parity(model_path: str, image_size: int) -> bool | None:
     return err < 5e-2 and verr < 5e-2
 
 
-def phase_capture_sanity(model_path: str, image_size: int) -> bool:
+def phase_capture_sanity(
+    model_path: str, image_size: int, model_cfgs=(), cfg_overrides=None
+) -> bool:
     import jax
 
     from stablekeypoints_tpu.config import Config
     from stablekeypoints_tpu.pipeline.runtime import Runtime
 
-    cfg = Config(dataset_name="synthetic", model_path=model_path, image_size=image_size)
-    rt = Runtime.create(cfg)
+    cfg = Config(
+        dataset_name="synthetic", model_path=model_path, image_size=image_size,
+        **(cfg_overrides or {}),
+    )
+    rt = Runtime.create(cfg, *model_cfgs)
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (1, image_size, image_size, 3)).astype(np.float32)
     ctx = rt.init_context()
@@ -103,7 +108,7 @@ def phase_capture_sanity(model_path: str, image_size: int) -> bool:
     p = p / p.sum(-1, keepdims=True)
     ent = -(p * np.log(p + 1e-12)).sum(-1).mean()
     uniform = np.log(p.shape[-1])
-    ok = 0.05 * uniform < ent < 0.98 * uniform
+    ok = bool(0.05 * uniform < ent < 0.98 * uniform)
     print(
         f"[2/3] capture maps: mean entropy {ent:.2f} vs uniform {uniform:.2f} "
         f"({'non-degenerate OK' if ok else 'DEGENERATE — check weights'})"
@@ -111,7 +116,9 @@ def phase_capture_sanity(model_path: str, image_size: int) -> bool:
     return ok
 
 
-def phase_latent_warp(model_path: str, image_size: int) -> bool:
+def phase_latent_warp(
+    model_path: str, image_size: int, model_cfgs=(), cfg_overrides=None
+) -> bool:
     """Closeness of the latent-space warp approximation (cfg.latent_warp)
     on the REAL encoder: warp(encode(img)) vs encode(warp(img)) over the
     reference augmentation draw. Trained VAE filters are near affine-
@@ -132,9 +139,9 @@ def phase_latent_warp(model_path: str, image_size: int) -> bool:
 
     cfg = Config(
         dataset_name="synthetic", model_path=model_path, image_size=image_size,
-        latent_warp=True,
+        latent_warp=True, **(cfg_overrides or {}),
     )
-    rt = Runtime.create(cfg)
+    rt = Runtime.create(cfg, *model_cfgs)
     rng = np.random.default_rng(1)
     imgs = jnp.asarray(
         rng.uniform(0, 1, (4, image_size, image_size, 3)), jnp.float32
@@ -160,22 +167,25 @@ def phase_latent_warp(model_path: str, image_size: int) -> bool:
     return True if ok else None  # None = advisory, never fails the run
 
 
-def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> bool:
+def phase_celeba(
+    model_path: str, dataset_loc: str, steps: int, wild: bool,
+    model_cfgs=(), cfg_overrides=None,
+) -> bool:
     from stablekeypoints_tpu.config import Config, apply_preset
     from stablekeypoints_tpu import main as cli
 
     name = "celeba_wild" if wild else "celeba_aligned"
-    cfg = apply_preset(
-        Config(
-            dataset_name=name,
-            dataset_loc=dataset_loc,
-            model_path=model_path,
-            num_steps=steps,
-            save_folder=f"outputs/real_{name}",
-        )
+    kw = dict(
+        dataset_name=name,
+        dataset_loc=dataset_loc,
+        model_path=model_path,
+        num_steps=steps,
+        save_folder=f"outputs/real_{name}",
     )
+    kw.update(cfg_overrides or {})
+    cfg = apply_preset(Config(**kw))
     t0 = time.time()
-    result = cli.run(cfg)
+    result = cli.run(cfg, *model_cfgs)
     dt = time.time() - t0
     md = result.get("mean_distance")
     paper = 5.24 if wild else 2.44
@@ -191,18 +201,78 @@ def phase_celeba(model_path: str, dataset_loc: str, steps: int, wild: bool) -> b
         )
     )
     # north-star: within 2% relative of the reference number (BASELINE.md)
+    if cfg_overrides:  # selftest (fabricated weights): completion, not parity
+        return bool(md is not None and np.isfinite(md))
     return md is not None and 100 * md <= paper * 1.02
+
+
+def selftest() -> dict:
+    """Run every phase of this harness end-to-end against a FABRICATED
+    tiny-topology diffusers-layout checkpoint written to disk — proving the
+    single command works (disk load path, conversion, capture, latent_warp
+    advisory, full 5-stage CelebA-layout run) before a real checkpoint
+    lands. Random weights: the capture-sanity entropy band and CelebA
+    *completion* are asserted; metric parity obviously is not."""
+    import tempfile
+
+    from stablekeypoints_tpu.models import weights as W
+    from stablekeypoints_tpu.models.unet import tiny_unet_config
+    from stablekeypoints_tpu.models.vae import tiny_vae_config
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
+    from make_synthetic_celeba import make_synthetic_celeba
+
+    tmp = tempfile.mkdtemp(prefix="skt_selftest_")
+    ckpt = os.path.join(tmp, "ckpt")
+    ucfg, vcfg = tiny_unet_config(context_dim=768), tiny_vae_config()
+    W.fabricate_checkpoint(ckpt, ucfg, vcfg, seed=0)
+    print(f"[selftest] fabricated tiny diffusers-layout checkpoint at {ckpt}")
+
+    overrides = dict(
+        feature_upsample_res=16, num_tokens=16, furthest_point_num_samples=8,
+        top_k=4, dtype="float32",
+    )
+    results: dict[str, bool | None] = {}
+    results["capture_sanity"] = phase_capture_sanity(
+        ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+    )
+    results["latent_warp"] = phase_latent_warp(
+        ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+    )
+    data = os.path.join(tmp, "celeba")
+    make_synthetic_celeba(data, n=16, image_size=64)
+    results["celeba_pipeline"] = phase_celeba(
+        ckpt, data, steps=8, wild=False, model_cfgs=(ucfg, vcfg),
+        cfg_overrides=dict(
+            overrides, image_size=64, batch_size=4, num_indices=4,
+            augmentation_iterations=4, max_num_points=8,
+            save_folder=os.path.join(tmp, "out"),
+        ),
+    )
+    return results
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--model_path", default=None)
     ap.add_argument("--dataset_loc", default=None)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--image_size", type=int, default=512)
     ap.add_argument("--wild", action="store_true")
     ap.add_argument("--skip_diffusers", action="store_true")
+    ap.add_argument(
+        "--selftest", action="store_true",
+        help="fabricate a tiny checkpoint on disk and run all phases against it",
+    )
     args = ap.parse_args()
+
+    if args.selftest:
+        results = selftest()
+        failed = [k for k, ok in results.items() if ok is False]
+        print(json.dumps({"phases": results, "failed": failed, "selftest": True}))
+        sys.exit(1 if failed else 0)
+    if not args.model_path:
+        ap.error("--model_path is required (or use --selftest)")
 
     # collect per-phase pass/fail so automation can't mistake a failed
     # north-star validation for success (the script exits 1 on any failure)
