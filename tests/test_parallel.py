@@ -69,13 +69,18 @@ def test_dp_tp_matches_dp_only():
         feature_upsample_res=16, batch_size=4, furthest_point_num_samples=8,
         top_k=4, dtype="float32",
     )
-    losses = []
+    losses, contexts = [], []
     for (nd, nm) in ((4, 1), (2, 2)):
         mesh = pmesh.make_mesh(nd, nm)
         rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config(), mesh=mesh)
         images = pmesh.shard_batch(mesh, np.ones((4, 64, 64, 3), np.float32) * 0.4)
         ctx = rt.init_context()
         opt_state = jax.device_put(rt.optimizer.init(ctx), pmesh.replicated(mesh))
-        _, _, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(1))
+        ctx, _, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(1))
         losses.append(float(m["loss"]))
+        contexts.append(np.asarray(ctx))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+    # the full gradient path too: the post-Adam context must match across
+    # layouts (TP reductions — conv psums, capture head-mean psum — only
+    # reorder floating-point sums)
+    np.testing.assert_allclose(contexts[0], contexts[1], rtol=2e-3, atol=2e-5)
