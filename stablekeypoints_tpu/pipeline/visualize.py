@@ -180,3 +180,53 @@ def create_vid(runtime: Runtime, dataset, context, indices, regressor=None, logg
     save_artifact(cfg.save_folder, "keypoints", keypoints)
     save_artifact(cfg.save_folder, "saved_maps", np.stack(saved_maps))
     return keypoints
+
+
+def main(argv=None):
+    """Standalone video-tracking CLI (the reference's `create_vid`,
+    visualize.py:250-374, is imported by its main.py:19 but never callable
+    from any entry point — here it is): load the learned embedding +
+    indices (+ optional regressor) from --save_folder and track keypoints
+    across the ordered frames of --dataset_loc.
+
+        python -m stablekeypoints_tpu.pipeline.visualize \
+            --save_folder outputs --dataset_loc /data/frames
+    """
+    import argparse
+
+    import jax.numpy as jnp
+
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.data.custom import CustomDataset
+    from stablekeypoints_tpu.utils.artifacts import load_artifact
+
+    p = argparse.ArgumentParser(description="track keypoints across video frames")
+    p.add_argument("--save_folder", type=str, default="outputs")
+    p.add_argument("--dataset_loc", type=str, required=True,
+                   help="folder of ordered frame images")
+    p.add_argument("--model_type", type=str, default=Config.model_type)
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--image_size", type=int, default=512)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_regressor", action="store_true",
+                   help="apply the fitted stage-4 regressor to the tracks")
+    args = p.parse_args(argv)
+
+    embedding = load_artifact(args.save_folder, "embedding")
+    indices = load_artifact(args.save_folder, "indices")
+    regressor = load_artifact(args.save_folder, "regressor") if args.use_regressor else None
+    cfg = Config(
+        dataset_name="custom", dataset_loc=args.dataset_loc,
+        model_type=args.model_type, model_path=args.model_path,
+        image_size=args.image_size, num_tokens=embedding.shape[1],
+        seed=args.seed, save_folder=args.save_folder,
+    )
+    runtime = Runtime.create(cfg)
+    frames = CustomDataset(args.dataset_loc, image_size=args.image_size)
+    kpts = create_vid(runtime, frames, jnp.asarray(embedding), indices, regressor=regressor)
+    print(f"tracked {kpts.shape[0]} frames x {kpts.shape[1]} keypoints -> "
+          f"{os.path.join(args.save_folder, 'keypoints.npy')} + frames/")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,7 @@ def pipeline_outputs(tmp_path_factory):
     source, target, vis = precompute_all_keypoints(rt, train, ctx, indices)
     regressor = fit_regressor(cfg, source, target, vis)
     mean_dist, all_vals = evaluate(rt, test, ctx, indices, regressor)
-    return cfg, ctx, indices, source, target, vis, regressor, mean_dist, all_vals
+    return cfg, ctx, indices, source, target, vis, regressor, mean_dist, all_vals, rt
 
 
 def test_stage2_indices(pipeline_outputs):
@@ -74,14 +74,37 @@ def test_stage3_keypoints(pipeline_outputs):
 
 
 def test_stage4_regressor_shape(pipeline_outputs):
-    cfg, *_, regressor, _, _ = pipeline_outputs
+    cfg, regressor = pipeline_outputs[0], pipeline_outputs[6]
     assert regressor.shape == (cfg.top_k * 2, 4 * 2)
 
 
 def test_stage5_metric(pipeline_outputs):
-    *_, mean_dist, all_vals = pipeline_outputs
+    mean_dist, all_vals = pipeline_outputs[7], pipeline_outputs[8]
     assert np.isfinite(mean_dist)
     assert all_vals.shape == (4,)
+
+
+def test_create_vid_tracks_frames(pipeline_outputs):
+    """Video keypoint tracking (reference visualize.py:250-374): per ordered
+    frame, ensemble maps -> keypoints (+ optional regressor), per-frame
+    panels, and the keypoints/saved_maps artifact pair."""
+    import os
+
+    import jax.numpy as jnp
+
+    from stablekeypoints_tpu.pipeline.visualize import create_vid
+    from stablekeypoints_tpu.utils.artifacts import load_artifact
+
+    cfg, ctx, indices = pipeline_outputs[0], pipeline_outputs[1], pipeline_outputs[2]
+    regressor, rt = pipeline_outputs[6], pipeline_outputs[9]
+    frames = SyntheticBlobs(length=3, image_size=64, num_kpts=4, seed=2)
+    kpts = create_vid(rt, frames, jnp.asarray(ctx), indices, regressor=regressor)
+    assert kpts.shape == (3, 4, 2) and np.isfinite(kpts).all()
+    assert load_artifact(cfg.save_folder, "keypoints").shape == kpts.shape
+    maps = load_artifact(cfg.save_folder, "saved_maps")
+    assert maps.shape[0] == 3 and np.isfinite(maps).all()
+    for fi in range(3):
+        assert os.path.exists(os.path.join(cfg.save_folder, "frames", f"frame_{fi:05d}.png"))
 
 
 def test_stage5_augmentation_panel(pipeline_outputs):
