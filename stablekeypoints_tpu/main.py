@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="local diffusers-layout checkpoint dir; omit for random init")
     p.add_argument("--my_token", type=str, default=None,
                    help="accepted for reference-CLI parity; unused offline")
+    p.add_argument("--device", type=str, default=None,
+                   help="accepted for reference-CLI parity (reference main.py:71 "
+                   "takes 'cuda:0'); device placement here is the jax mesh")
     # dataset
     p.add_argument("--dataset_loc", type=str, default=d.dataset_loc)
     p.add_argument("--dataset_name", type=str, default=d.dataset_name, choices=DATASET_NAMES)
