@@ -38,5 +38,11 @@ def load_artifact(save_folder: str, name: str) -> np.ndarray:
     if os.path.exists(pt_path):
         import torch
 
-        return torch.load(pt_path, map_location="cpu", weights_only=True).numpy()
+        t = torch.load(pt_path, map_location="cpu", weights_only=True)
+        if isinstance(t, torch.Tensor):
+            # the reference torch.saves the LEAF embedding (requires_grad=True,
+            # reference main.py:218) — e.g. its published precomputed learned
+            # tokens — so detach before the numpy view
+            return t.detach().numpy()
+        return np.asarray(t)
     raise FileNotFoundError(f"artifact {name} not found in {save_folder}")

@@ -135,6 +135,21 @@ def test_artifact_roundtrip(pipeline_outputs):
     assert tuple(pt.shape) == (1, 4, 8)
 
 
+def test_load_reference_saved_embedding(tmp_path):
+    """A user migrating from the reference drops its torch.saved artifacts
+    (e.g. the published precomputed learned tokens) into --save_folder: the
+    reference saves the LEAF embedding with requires_grad=True
+    (reference main.py:218), which must load cleanly."""
+    import torch
+
+    from stablekeypoints_tpu.utils.artifacts import load_artifact
+
+    emb = torch.randn(1, 8, 16, requires_grad=True)
+    torch.save(emb, tmp_path / "embedding.pt")
+    back = load_artifact(str(tmp_path), "embedding")
+    np.testing.assert_allclose(back, emb.detach().numpy())
+
+
 def test_regressor_recovers_linear_map():
     """Closed-form LS recovers a known linear relation exactly."""
     rng = np.random.default_rng(0)
