@@ -84,3 +84,33 @@ def test_dp_tp_matches_dp_only():
     # layouts (TP reductions — conv psums, capture head-mean psum — only
     # reorder floating-point sums)
     np.testing.assert_allclose(contexts[0], contexts[1], rtol=2e-3, atol=2e-5)
+
+
+def test_dp_tp_sdxl_matches_dp_only():
+    """The widened TP's stated motivation is SDXL: verify the full train
+    step on the SDXL topology (3 blocks, depth-2 transformers, fixed-dim
+    heads, micro-conditioning) gives identical losses and post-Adam context
+    across a DP-only and a TP mesh — conv pairs, fixed-head-dim attention
+    shards, and the add_embedding path all under 'model'."""
+    from stablekeypoints_tpu.models.unet import sdxl_tiny_config
+
+    cfg = Config(
+        dataset_name="synthetic", model_type="sdxl", image_size=64,
+        num_tokens=16, feature_upsample_res=16, batch_size=2,
+        furthest_point_num_samples=8, top_k=4, dtype="float32",
+    )
+    losses, contexts = [], []
+    for (nd, nm) in ((2, 1), (1, 2)):
+        mesh = pmesh.make_mesh(nd, nm)
+        rt = Runtime.create(cfg, sdxl_tiny_config(), tiny_vae_config(), mesh=mesh)
+        if nm > 1:  # resblock conv1 physically sharded over out channels
+            k = rt.unet_params["down_1"]["resnets_0"]["conv1"]["kernel"]
+            assert k.sharding.spec == P(None, None, None, "model"), k.sharding
+        images = pmesh.shard_batch(mesh, np.ones((2, 64, 64, 3), np.float32) * 0.4)
+        ctx = rt.init_context()
+        opt_state = jax.device_put(rt.optimizer.init(ctx), pmesh.replicated(mesh))
+        ctx, _, _, m = rt.train_step(ctx, opt_state, images, jax.random.PRNGKey(1))
+        losses.append(float(m["loss"]))
+        contexts.append(np.asarray(ctx))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+    np.testing.assert_allclose(contexts[0], contexts[1], rtol=2e-3, atol=2e-5)
