@@ -124,3 +124,39 @@ def test_tp_shards_conv_weights_and_memory():
     # the transformer shards were already counted at round 2); the widened
     # conv rules push well past it.
     assert arg_bytes[4] < 0.75 * arg_bytes[1], arg_bytes
+
+
+@pytest.mark.slow
+def test_tp_resblock_groupnorm_is_shard_local():
+    """The widened conv-TP claim, pinned at HLO level: a TP-sharded resblock
+    forward contains exactly ONE all-reduce (conv2's row-parallel psum) and
+    ZERO all-gathers — i.e. the GroupNorm between the conv pair computes its
+    per-group stats shard-locally (contiguous channel sharding keeps whole
+    groups on-device). An all-gather appearing here means GSPMD stopped
+    propagating the channel sharding through the norm."""
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from scaling_study import collective_stats
+
+    from stablekeypoints_tpu.models.layers import ResnetBlock
+
+    devices = jax.devices("cpu")[:2]
+    if len(devices) < 2:
+        pytest.skip("needs >=2 virtual devices")
+    mesh = pmesh.make_mesh(1, 2, devices=devices)
+    blk = ResnetBlock(out_channels=64, dtype=jnp.float32)
+    x = jnp.ones((2, 8, 8, 64))
+    temb = jnp.ones((2, 32))
+    params = blk.init(jax.random.PRNGKey(0), x, temb)["params"]
+    sh = pmesh.tensor_parallel_shardings(mesh, {"resnets_0": params})["resnets_0"]
+    params = jax.tree_util.tree_map(jax.device_put, params, sh)
+    xr = jax.device_put(x, NamedSharding(mesh, P()))
+    tr = jax.device_put(temb, NamedSharding(mesh, P()))
+    f = jax.jit(lambda p, a, t: blk.apply({"params": p}, a, t))
+    stats = collective_stats(f.lower(params, xr, tr).compile().as_text())
+    assert stats["all-reduce"]["count"] == 1, stats
+    assert stats["all-gather"]["count"] == 0, stats
+    assert stats["reduce-scatter"]["count"] == 0, stats
