@@ -114,6 +114,10 @@ class Config:
     # on = native fused decode+resize for all JPEGs (torch-bilinear, no
     # antialias — measured ~1.3x per loader thread and GIL-free)
     native_io: str = "auto"
+    # persistent XLA compilation cache (cold production-step compiles take
+    # minutes; warm runs skip them). "" disables; the
+    # JAX_COMPILATION_CACHE_DIR env var / an already-set jax config wins
+    jax_cache_dir: str = "~/.cache/stablekeypoints_tpu/jax"
     seed: int = 0
     checkpoint_every: int = 0  # 0 = only stage-end artifacts
     resume: bool = False  # resume from checkpoints / stage artifacts

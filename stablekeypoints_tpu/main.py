@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "libjpeg core (auto = only when bit-identical to PIL)")
     p.add_argument("--eval_ensemble_res", type=int, default=d.eval_ensemble_res,
                    help="-1 = warp the test-time ensemble at image resolution (reference-exact); lower = faster eval")
+    p.add_argument("--jax_cache_dir", type=str, default=d.jax_cache_dir,
+                   help="persistent XLA compilation cache ('' disables; "
+                        "JAX_COMPILATION_CACHE_DIR env overrides)")
     p.add_argument("--latent_warp", action="store_true",
                    help="APPROXIMATION: warp cached VAE latents instead of "
                         "encoding warped images (cache-hit train steps + "

@@ -44,6 +44,27 @@ from stablekeypoints_tpu.parallel import mesh as pmesh
 __all__ = ["Runtime", "collect_maps"]
 
 
+def _setup_compilation_cache(cfg: Config) -> None:
+    """Default-enable the persistent XLA compilation cache.
+
+    The production SD-1.5/SDXL step HLOs take minutes to compile cold
+    (remote TPU compiles 5-20 min in this environment); the reference has
+    no analog cost (torch eager). Respect an explicit user choice: the
+    JAX_COMPILATION_CACHE_DIR env var or an already-set jax config wins,
+    and cfg.jax_cache_dir="" disables."""
+    import os
+
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    path = os.path.expanduser(cfg.jax_cache_dir or "")
+    if not path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
 def collect_maps(
     captures: list[jnp.ndarray],
     layers: tuple[int, ...],
@@ -91,6 +112,7 @@ class Runtime:
         vae_config: VAEConfig = SD_VAE_CONFIG,
         mesh: Optional[jax.sharding.Mesh] = None,
     ) -> "Runtime":
+        _setup_compilation_cache(cfg)
         if unet_config is None:
             from stablekeypoints_tpu.models.unet import SDXL_CONFIG
 
