@@ -48,7 +48,7 @@ def _blocks(cfg):
     return res, tfm
 
 __all__ = [
-    "UNetConfig", "UNet", "SD15_CONFIG", "SDXL_CONFIG",
+    "UNetConfig", "UNet", "SD15_CONFIG", "SD21_CONFIG", "SDXL_CONFIG",
     "tiny_unet_config", "sdxl_tiny_config",
 ]
 
@@ -101,6 +101,19 @@ class UNetConfig:
 
 
 SD15_CONFIG = UNetConfig()
+
+# SD-2.x topology (diffusers stabilityai/stable-diffusion-2-1[-base]):
+# SD-1.5's 4-block layout with FIXED 64-dim heads (attention_head_dim
+# [5, 10, 20, 20] = channels/64), 1024-dim OpenCLIP context, and linear
+# transformer projections (use_linear_projection=True — conversion-only
+# here, the math is identical 1x1 convs). The reference hardcodes SD-1.5
+# (its main.py:26-31); this widens the supported checkpoint families.
+SD21_CONFIG = UNetConfig(
+    num_heads=0,
+    head_dim_fixed=64,
+    context_dim=1024,
+    linear_projection=True,
+)
 
 # SDXL-base topology: 3 blocks, no attention at 128^2/64^2 extremes of the
 # down path's first block, transformer depths (0, 2, 10), 64-dim heads,

@@ -44,6 +44,20 @@ from stablekeypoints_tpu.parallel import mesh as pmesh
 __all__ = ["Runtime", "collect_maps"]
 
 
+def unet_config_for_model_type(model_type: str) -> UNetConfig:
+    """Backbone topology from the --model_type string (an HF-repo-style
+    name, reference main.py:26-31): SDXL, SD-2.x (fixed 64-dim heads,
+    1024-dim context, linear projections), else SD-1.x."""
+    from stablekeypoints_tpu.models.unet import SD21_CONFIG, SDXL_CONFIG
+
+    name = model_type.lower()
+    if "xl" in name:
+        return SDXL_CONFIG
+    if "diffusion-2" in name or name.startswith("sd2"):
+        return SD21_CONFIG
+    return SD15_CONFIG
+
+
 def _setup_compilation_cache(cfg: Config) -> None:
     """Default-enable the persistent XLA compilation cache.
 
@@ -114,11 +128,7 @@ class Runtime:
     ) -> "Runtime":
         _setup_compilation_cache(cfg)
         if unet_config is None:
-            from stablekeypoints_tpu.models.unet import SDXL_CONFIG
-
-            unet_config = (
-                SDXL_CONFIG if "xl" in cfg.model_type.lower() else SD15_CONFIG
-            )
+            unet_config = unet_config_for_model_type(cfg.model_type)
         mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
         mesh_platform = mesh.devices.flat[0].platform
         if cfg.pallas_capture != "off":
