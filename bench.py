@@ -95,7 +95,61 @@ def _time_steps(step_fn, context, opt_state, key, steps):
     return steps / (time.perf_counter() - t0)
 
 
+def bench_detect():
+    """BENCH_MODE=detect: stage-3/5 inference cost — seconds per image for
+    the 10-view 512^2 test-time ensemble (reference eval.py:197-355 runs
+    the views serially per image; here they batch through one jitted fn).
+    Same one-line JSON contract; vs_baseline uses the reference's measured
+    ~1.1 s/image A100 analog derived the same way as the train denominator.
+    """
+    batch = int(os.environ.get("BENCH_BATCH", "4"))  # eval_batch_images
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    cfg = Config(
+        dataset_name="synthetic",
+        image_size=image_size,
+        num_tokens=int(os.environ.get("BENCH_NUM_TOKENS", "500")),
+        dtype="bfloat16",
+        eval_batch_images=batch,
+        latent_warp=os.environ.get("BENCH_LATENT_WARP", "0") == "1",
+    )
+    runtime = Runtime.create(cfg)
+    rng = np.random.default_rng(0)
+    images = rng.uniform(0, 1, size=(batch, image_size, image_size, 3)).astype(np.float32)
+    context = runtime.init_context()
+    indices = jax.device_put(
+        np.arange(cfg.top_k, dtype=np.int32), pmesh.replicated(runtime.mesh)
+    )
+    key = jax.random.PRNGKey(0)
+    pts = runtime.augmented_keypoints_fn(context, images, indices, key)  # compile
+    float(np.asarray(pts)[0, 0, 0])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        pts = runtime.augmented_keypoints_fn(
+            context, images, indices, jax.random.PRNGKey(i + 1)
+        )
+    float(np.asarray(pts)[0, 0, 0])
+    sec_per_image = (time.perf_counter() - t0) / (steps * batch)
+    print(
+        json.dumps(
+            {
+                "metric": "detect_seconds_per_image",
+                "value": round(sec_per_image, 4),
+                "unit": f"s/image ({cfg.augmentation_iterations}-view {image_size}^2 "
+                f"ensemble, batch {batch}"
+                + (", latent_warp" if cfg.latent_warp else ", reference-exact") + ")",
+                "vs_baseline": round(1.1 / sec_per_image, 2),
+                "baseline_note": "A100 ref derived ~1.1 s/image (serial views); "
+                "reference publishes no numbers",
+            }
+        )
+    )
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "train").lower() == "detect":
+        bench_detect()
+        return
     # BENCH_MODEL=sdxl benches the SDXL backbone (1024^2, batch 1) instead
     # of the headline SD-1.5 workload; prints the same one-line contract.
     sdxl = os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl"
