@@ -102,11 +102,13 @@ def bench_detect():
     Same one-line JSON contract; vs_baseline uses the reference's measured
     ~1.1 s/image A100 analog derived the same way as the train denominator.
     """
-    batch = int(os.environ.get("BENCH_BATCH", "4"))  # eval_batch_images
+    sdxl = os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl"
+    batch = int(os.environ.get("BENCH_BATCH", "1" if sdxl else "4"))  # eval_batch_images
     steps = int(os.environ.get("BENCH_STEPS", "5"))
-    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "512"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024" if sdxl else "512"))
     cfg = Config(
         dataset_name="synthetic",
+        model_type="sdxl" if sdxl else Config.model_type,
         image_size=image_size,
         num_tokens=int(os.environ.get("BENCH_NUM_TOKENS", "500")),
         dtype="bfloat16",
@@ -133,14 +135,14 @@ def bench_detect():
     print(
         json.dumps(
             {
-                "metric": "detect_seconds_per_image",
+                "metric": f"{'sdxl' if sdxl else 'sd15'}_detect_seconds_per_image",
                 "value": round(sec_per_image, 4),
                 "unit": f"s/image ({cfg.augmentation_iterations}-view {image_size}^2 "
                 f"ensemble, batch {batch}"
                 + (", latent_warp" if cfg.latent_warp else ", reference-exact") + ")",
                 "vs_baseline": round(1.1 / sec_per_image, 2),
-                "baseline_note": "A100 ref derived ~1.1 s/image (serial views); "
-                "reference publishes no numbers",
+                "baseline_note": "A100 ref derived ~1.1 s/image for SD-1.5 serial "
+                "views (BASELINE.md); reference publishes no numbers",
             }
         )
     )

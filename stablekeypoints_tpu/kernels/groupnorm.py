@@ -105,21 +105,30 @@ def _fused_impl(x, scale, bias, groups, eps, act, interpret):
     inv_c = jnp.repeat(inv, cg, axis=1)  # [B, C]
     mean_c = jnp.repeat(mean, cg, axis=1)
     a = inv_c * scale.astype(jnp.float32)[None]
-    bc = bias.astype(jnp.float32)[None] - mean_c * a
 
-    # the APPLY stays in jnp: XLA fuses the a*x+b(+silu) into one
+    # the APPLY stays in jnp: XLA fuses the (x-mean)*a+bias(+silu) into one
     # elementwise pass, and — unlike a custom-call result — that fusion's
     # output can adopt the consumer conv's preferred layout (a pallas apply
     # measurably doubled the adjacent VAE convs' time). It runs in x.dtype:
-    # the per-channel affine (a, bc) is computed in fp32 above and rounded
+    # the per-channel mean/affine are computed in fp32 above and rounded
     # once per [B, C] — at 1024^2 XLA materialized the x->fp32 convert as a
     # standalone 19 ms op per layer instead of fusing it (SDXL profile,
-    # STATUS round 3), and the surrounding VAE already computes in bf16, so
-    # an fp32 elementwise intermediate adds cost without adding accuracy
+    # STATUS round 3), and the surrounding VAE already computes in bf16
     # (this VAE path is forward-only; the VJP uses the exact jnp reference).
-    a = a.astype(x.dtype)[:, None, None, :]
-    bc = bc.astype(x.dtype)[:, None, None, :]
-    y = x * a + bc
+    # CENTER-FIRST form, not x*a + (bias - mean*a): with a high-mean channel
+    # the folded form's x*a intermediate is O(mean/std) and its bf16
+    # rounding survives the cancellation against bc (measured 0.68 absolute
+    # at mean 30 / std 0.5); centering keeps every intermediate O(1). The
+    # subtracted mean is itself rounded to x.dtype — its rounding residue
+    # (up to half an input ulp, x1/std after scaling) is COMPENSATED into
+    # the bias in fp32, so the remaining error is product-rounding only
+    # (x - m_q is exact by Sterbenz for x within 2x of the mean).
+    m_q = mean_c.astype(x.dtype).astype(jnp.float32)  # the value actually subtracted
+    # (x - m_q)·a + b_comp == (x - mean)·a + bias exactly, in fp32 terms
+    b_comp = bias.astype(jnp.float32)[None] + (m_q - mean_c) * a  # [B, C]
+    y = (x - m_q.astype(x.dtype)[:, None, None, :]) * a.astype(x.dtype)[
+        :, None, None, :
+    ] + b_comp.astype(x.dtype)[:, None, None, :]
     if act == "silu":
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype)

@@ -80,6 +80,12 @@ class UNetConfig:
     # use 1x1 convs (identical math) — this flag only affects checkpoint
     # weight conversion
     linear_projection: bool = False
+    # what the UNet output parameterizes: "epsilon" (SD-1.x, SD-2.x-base,
+    # SDXL) or "v_prediction" (SD-2.x 768 checkpoints). Only generation
+    # consumes eps — the keypoint pipeline uses attention maps only — but a
+    # v-pred checkpoint sampled as epsilon produces garbage, so the sampler
+    # converts (pipeline/generate.py:v_to_eps)
+    prediction_type: str = "epsilon"
     max_capture_layers: int = 4
     capture_max_seq: int = 32 * 32
     # fused Pallas kernel for the capture softmax/head-mean (TPU);

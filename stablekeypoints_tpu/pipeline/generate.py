@@ -20,7 +20,16 @@ import numpy as np
 from stablekeypoints_tpu.models.vae import VAE
 from stablekeypoints_tpu.pipeline.runtime import Runtime, collect_maps
 
-__all__ = ["generate_images"]
+__all__ = ["generate_images", "v_to_eps"]
+
+
+def v_to_eps(v, lat, alpha_t):
+    """Convert a v-prediction model output to epsilon at timestep t.
+
+    With lat = sqrt(a)·x0 + sqrt(1-a)·eps and v ≡ sqrt(a)·eps - sqrt(1-a)·x0
+    (the SD-2.x 768 checkpoints' parameterization):
+    sqrt(a)·v + sqrt(1-a)·lat = eps exactly (identity unit-tested)."""
+    return jnp.sqrt(alpha_t) * v + jnp.sqrt(1.0 - alpha_t) * lat
 
 
 def generate_images(
@@ -88,6 +97,10 @@ def generate_images(
             step_ratio = sched.num_train_timesteps // n_steps
             prev_t = t - step_ratio
             alpha_t = acp[t]
+            if runtime.unet.config.prediction_type == "v_prediction":
+                # guidance combines in model-output space (diffusers order),
+                # then the combined v converts to epsilon
+                eps = v_to_eps(eps, lat, alpha_t)
             alpha_prev = jnp.where(prev_t >= 0, acp[jnp.maximum(prev_t, 0)], acp[0])
             x0 = (lat - jnp.sqrt(1 - alpha_t) * eps) / jnp.sqrt(alpha_t)
             return jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1 - alpha_prev) * eps

@@ -47,14 +47,19 @@ __all__ = ["Runtime", "collect_maps"]
 def unet_config_for_model_type(model_type: str) -> UNetConfig:
     """Backbone topology from the --model_type string (an HF-repo-style
     name, reference main.py:26-31): SDXL, SD-2.x (fixed 64-dim heads,
-    1024-dim context, linear projections), else SD-1.x."""
+    1024-dim context, linear projections), else SD-1.x. SD-2.x 768
+    checkpoints (stable-diffusion-2, -2-1) predict v, not epsilon — the
+    '-base' variants are epsilon — so the prediction type rides on the
+    config for the sampler's conversion."""
     from stablekeypoints_tpu.models.unet import SD21_CONFIG, SDXL_CONFIG
 
     name = model_type.lower()
     if "xl" in name:
         return SDXL_CONFIG
     if "diffusion-2" in name or name.startswith("sd2"):
-        return SD21_CONFIG
+        if "base" in name:
+            return SD21_CONFIG
+        return dataclasses.replace(SD21_CONFIG, prediction_type="v_prediction")
     return SD15_CONFIG
 
 

@@ -44,5 +44,12 @@ def load_artifact(save_folder: str, name: str) -> np.ndarray:
             # reference main.py:218) — e.g. its published precomputed learned
             # tokens — so detach before the numpy view
             return t.detach().numpy()
-        return np.asarray(t)
+        arr = np.asarray(t)
+        if arr.dtype == object:  # a dict / full checkpoint, not a bare array
+            raise TypeError(
+                f"{pt_path} does not contain a tensor/array (got "
+                f"{type(t).__name__}); the reference's stage artifacts are "
+                "bare tensors — extract the right entry before loading"
+            )
+        return arr
     raise FileNotFoundError(f"artifact {name} not found in {save_folder}")

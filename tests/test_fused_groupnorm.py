@@ -45,6 +45,24 @@ def test_shifted_distribution():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
+def test_bf16_shifted_distribution():
+    """The input-dtype apply (round 3) in the regime it actually degrades:
+    bf16 x with a large per-channel mean. The bf16 `x*a` product adds one
+    rounding of order (|mean|/std)*2^-9 on top of the input quantization —
+    this pins that the accumulated drift stays within a few output ulps of
+    the exact fp32 formulation (normalized outputs are O(1) after affine)."""
+    x, scale, bias = _make(mean=30.0, std=0.5, dtype=jnp.bfloat16)
+    out = fused_group_norm(x, scale, bias, 32, 1e-6, "silu", interpret=True)
+    ref = _group_norm(
+        x.astype(jnp.float32), scale, bias, 32, 1e-6, "silu"
+    )
+    assert out.dtype == jnp.bfloat16
+    d = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    # output values are O(4); bf16 quantum there is 0.03125. Allow ~4 ulps
+    # for input quantization at mean 30 + the bf16 apply rounding.
+    assert d.max() <= 0.125, d.max()
+
+
 def test_supported_predicate():
     assert fused_group_norm_supported(64 * 64, 128, 32)
     assert not fused_group_norm_supported(64 * 64, 96, 32)  # lanes

@@ -81,3 +81,46 @@ def test_cfg_changes_output():
     b, _ = generate_images(rt, ctx, num_images=1, key=key, guidance_scale=7.5)
     assert np.isfinite(b).all()
     assert np.abs(a - b).max() > 1e-4
+
+
+def test_v_to_eps_identity():
+    """v_to_eps inverts the v parameterization exactly: with
+    lat = sqrt(a) x0 + sqrt(1-a) eps and v = sqrt(a) eps - sqrt(1-a) x0,
+    sqrt(a) v + sqrt(1-a) lat == eps (SD-2.x 768 checkpoints)."""
+    import jax.numpy as jnp
+
+    from stablekeypoints_tpu.pipeline.generate import v_to_eps
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((2, 8, 8, 4)), jnp.float32)
+    for a in (0.02, 0.5, 0.98):
+        lat = np.sqrt(a) * x0 + np.sqrt(1 - a) * eps
+        v = np.sqrt(a) * eps - np.sqrt(1 - a) * x0
+        np.testing.assert_allclose(
+            np.asarray(v_to_eps(v, lat, a)), np.asarray(eps), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_generate_v_prediction_differs_and_is_finite():
+    """A v-prediction backbone must sample through the eps conversion:
+    same weights + same key, flipping only prediction_type, changes the
+    samples (a silent no-op here would mean 768-checkpoint garbage)."""
+    import dataclasses
+
+    import jax
+
+    key = jax.random.PRNGKey(3)
+    outs = {}
+    for pred in ("epsilon", "v_prediction"):
+        cfg = Config(
+            dataset_name="synthetic", image_size=64, num_tokens=8,
+            feature_upsample_res=16, dtype="float32",
+        )
+        ucfg = dataclasses.replace(tiny_unet_config(), prediction_type=pred)
+        rt = Runtime.create(cfg, ucfg, tiny_vae_config(), mesh=pmesh.make_mesh(1, 1))
+        ctx = rt.init_context()
+        imgs, _ = generate_images(rt, ctx, num_images=1, key=key)
+        outs[pred] = np.asarray(imgs)
+        assert np.isfinite(outs[pred]).all()
+    assert np.abs(outs["epsilon"] - outs["v_prediction"]).max() > 1e-4

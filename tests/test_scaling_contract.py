@@ -107,8 +107,7 @@ def test_tp_shards_conv_weights_and_memory():
             from jax.sharding import PartitionSpec as P
 
             expect = P(None, None, None, "model") if n_model > 1 else P()
-            if n_model > 1:
-                assert k.sharding.spec == expect, k.sharding
+            assert k.sharding.spec == expect, k.sharding
             images = pmesh.shard_batch(
                 mesh,
                 np.random.default_rng(0).uniform(0, 1, (4, 64, 64, 3)).astype(np.float32),

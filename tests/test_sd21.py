@@ -44,9 +44,13 @@ def test_runtime_dispatches_sd21():
     from stablekeypoints_tpu.models.unet import SD15_CONFIG, SDXL_CONFIG
     from stablekeypoints_tpu.pipeline.runtime import unet_config_for_model_type as pick
 
-    assert pick("stabilityai/stable-diffusion-2-1") is SD21_CONFIG
+    # 768 checkpoints are v-prediction; -base variants are epsilon
+    v21 = pick("stabilityai/stable-diffusion-2-1")
+    assert v21 == dataclasses.replace(SD21_CONFIG, prediction_type="v_prediction")
+    assert pick("stabilityai/stable-diffusion-2").prediction_type == "v_prediction"
     assert pick("stabilityai/stable-diffusion-2-1-base") is SD21_CONFIG
-    assert pick("sd21") is SD21_CONFIG
+    assert pick("stabilityai/stable-diffusion-2-base") is SD21_CONFIG
+    assert SD21_CONFIG.prediction_type == "epsilon"
     assert pick("sd-legacy/stable-diffusion-v1-5") is SD15_CONFIG
     assert pick("runwayml/stable-diffusion-v1-5") is SD15_CONFIG
     assert pick("stabilityai/stable-diffusion-xl-base-1.0") is SDXL_CONFIG

@@ -169,8 +169,11 @@ def phase_latent_warp(
 
 def phase_celeba(
     model_path: str, dataset_loc: str, steps: int, wild: bool,
-    model_cfgs=(), cfg_overrides=None,
+    model_cfgs=(), cfg_overrides=None, completion_only: bool = False,
 ) -> bool:
+    """completion_only=True (the fabricated-weights selftest) asserts the
+    5-stage run completes with a finite metric; the default asserts the
+    north-star 2%-of-paper parity."""
     from stablekeypoints_tpu.config import Config, apply_preset
     from stablekeypoints_tpu import main as cli
 
@@ -200,9 +203,9 @@ def phase_celeba(
             }
         )
     )
-    # north-star: within 2% relative of the reference number (BASELINE.md)
-    if cfg_overrides:  # selftest (fabricated weights): completion, not parity
+    if completion_only:  # selftest (fabricated weights): completion, not parity
         return bool(md is not None and np.isfinite(md))
+    # north-star: within 2% relative of the reference number (BASELINE.md)
     return md is not None and 100 * md <= paper * 1.02
 
 
@@ -223,32 +226,48 @@ def selftest() -> dict:
     from make_synthetic_celeba import make_synthetic_celeba
 
     tmp = tempfile.mkdtemp(prefix="skt_selftest_")
-    ckpt = os.path.join(tmp, "ckpt")
-    ucfg, vcfg = tiny_unet_config(context_dim=768), tiny_vae_config()
-    W.fabricate_checkpoint(ckpt, ucfg, vcfg, seed=0)
-    print(f"[selftest] fabricated tiny diffusers-layout checkpoint at {ckpt}")
+    try:
+        ckpt = os.path.join(tmp, "ckpt")
+        ucfg, vcfg = tiny_unet_config(context_dim=768), tiny_vae_config()
+        W.fabricate_checkpoint(ckpt, ucfg, vcfg, seed=0)
+        print(f"[selftest] fabricated tiny diffusers-layout checkpoint at {ckpt}")
 
-    overrides = dict(
-        feature_upsample_res=16, num_tokens=16, furthest_point_num_samples=8,
-        top_k=4, dtype="float32",
-    )
-    results: dict[str, bool | None] = {}
-    results["capture_sanity"] = phase_capture_sanity(
-        ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
-    )
-    results["latent_warp"] = phase_latent_warp(
-        ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
-    )
-    data = os.path.join(tmp, "celeba")
-    make_synthetic_celeba(data, n=16, image_size=64)
-    results["celeba_pipeline"] = phase_celeba(
-        ckpt, data, steps=8, wild=False, model_cfgs=(ucfg, vcfg),
-        cfg_overrides=dict(
-            overrides, image_size=64, batch_size=4, num_indices=4,
-            augmentation_iterations=4, max_num_points=8,
-            save_folder=os.path.join(tmp, "out"),
-        ),
-    )
+        overrides = dict(
+            feature_upsample_res=16, num_tokens=16, furthest_point_num_samples=8,
+            top_k=4, dtype="float32",
+        )
+        results: dict[str, bool | None] = {}
+        results["capture_sanity"] = phase_capture_sanity(
+            ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+        )
+        results["latent_warp"] = phase_latent_warp(
+            ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+        )
+        data = os.path.join(tmp, "celeba")
+        make_synthetic_celeba(data, n=16, image_size=64)
+        results["celeba_pipeline"] = phase_celeba(
+            ckpt, data, steps=8, wild=False, model_cfgs=(ucfg, vcfg),
+            cfg_overrides=dict(
+                overrides, image_size=64, batch_size=4, num_indices=4,
+                augmentation_iterations=4, max_num_points=8,
+                save_folder=os.path.join(tmp, "out"),
+            ),
+            completion_only=True,
+        )
+    except BaseException:
+        print(f"[selftest] FAILED — working dir kept for debugging: {tmp}")
+        raise
+    else:
+        if all(ok is not False for ok in results.values()):
+            import shutil
+
+            errors = []
+            shutil.rmtree(tmp, onexc=lambda f, p, e: errors.append((p, e)))
+            if errors:
+                print(f"[selftest] cleanup incomplete ({len(errors)} paths): "
+                      f"{errors[0][0]}: {errors[0][1]}")
+        else:
+            print(f"[selftest] phase failed — working dir kept: {tmp}")
     return results
 
 
