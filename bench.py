@@ -162,6 +162,8 @@ def main():
     # BENCH_CACHE: 'both' (default) measures hit + fill; '1' / '0' restrict
     # to one variant (ablations)
     cache_mode = os.environ.get("BENCH_CACHE", "both")
+    if cache_mode not in ("both", "1", "0"):
+        sys.exit(f"BENCH_CACHE={cache_mode!r}: expected 'both', '1' or '0'")
 
     cfg = Config(
         dataset_name="synthetic",
@@ -203,17 +205,22 @@ def main():
         def step_hit(context, opt_state, key):
             return runtime.train_step_cached(context, opt_state, latents, images, key)
 
+        # time FIRST: the jit dispatch compiles and populates the persistent
+        # cache, so _flops' separate AOT lower().compile() for cost_analysis
+        # is a disk-cache hit instead of a second cold 5-20 min build
         c, o, k = fresh_inputs()
-        fl = _flops(runtime.train_step_cached, c, o, latents, images, k)
         sps = _time_steps(step_hit, c, o, k, steps)
+        c, o, k = fresh_inputs()  # donated during timing
+        fl = _flops(runtime.train_step_cached, c, o, latents, images, k)
         results["hit"] = (sps / n_chips, fl)
     if cache_mode in ("both", "0"):
         def step_fill(context, opt_state, key):
             return runtime.train_step(context, opt_state, images, key)
 
         c, o, k = fresh_inputs()
-        fl = _flops(runtime.train_step, c, o, images, k)
         sps = _time_steps(step_fill, c, o, k, steps)
+        c, o, k = fresh_inputs()  # donated during timing
+        fl = _flops(runtime.train_step, c, o, images, k)
         results["fill"] = (sps / n_chips, fl)
 
     headline = results.get("hit", results.get("fill"))

@@ -73,18 +73,23 @@ def load_image_rgb(path: str, image_size: int) -> np.ndarray:
             return load_image_rgb_fast(path, image_size)
         # auto: native only when bit-identical to the PIL path (the file is
         # already target-sized, so no resize happens and both paths are raw
-        # libjpeg output / 255). Image.open reads only the header here.
+        # libjpeg output / 255). Read the bytes ONCE and probe the size from
+        # the buffer — a separate Image.open(path) header probe doubled the
+        # file I/O on exactly the files the fast path targets.
         from stablekeypoints_tpu.utils import native
 
         if native.available():
+            import io
+
             try:
-                with Image.open(path) as im:
+                with open(path, "rb") as f:
+                    buf = f.read()
+                with Image.open(io.BytesIO(buf)) as im:  # header-only parse
                     at_size = im.size == (image_size, image_size)
             except Exception:
                 at_size = False
             if at_size:
-                with open(path, "rb") as f:
-                    out = native.decode_resize_jpeg(f.read(), image_size, image_size)
+                out = native.decode_resize_jpeg(buf, image_size, image_size)
                 if out is not None:
                     return out
     return _load_image_pil(path, image_size)

@@ -21,6 +21,21 @@ import jax.numpy as jnp
 __all__ = ["flash_self_attention", "flash_cross_attention", "flash_supported"]
 
 
+def _divisor_block(n: int, cap: int) -> int:
+    """Largest preferred block size <= cap that DIVIDES n (the stock flash
+    kernel asserts seq % block == 0). Power-of-two images give power-of-two
+    sequences where this equals min(cap, n), but non-power shapes exist in
+    production (SD-2.1-native 768^2 -> 48^2 = 2304 queries); falling through
+    to 128 (the lane tile, guaranteed by flash_supported) keeps them legal
+    rather than crashing at compile."""
+    if n <= cap:
+        return n
+    for b in (2048, 1024, 512, 256, 128):
+        if b <= cap and n % b == 0:
+            return b
+    return n  # unreachable when flash_supported gated (n % 128 == 0)
+
+
 def flash_supported(seq: int, kv_seq: int, dim_head: int) -> bool:
     """Static shape test for the Pallas flash kernel: sequence lengths must
     tile by the 128-lane MIN_BLOCK_SIZE and head_dim must be <=128 or a
@@ -85,11 +100,13 @@ def flash_self_attention(
     # both live shapes (N4096/D40: 22.1 -> 20.0 ms; N1024/D80: 3.22 -> 3.15);
     # in the backward, large dq/dkv *query* blocks pay only at long seq
     # (dkvq1024 won at N4096, lost at N1024) and dkv *key* blocks at 512
-    # always won. 2048 blocks fail to compile (VMEM).
-    bq = min(1024, n)
-    bk = min(1024, m)
-    bqd = min(1024, n) if n >= 4096 else min(512, n)
-    bkd = min(512, m)
+    # always won. 2048 blocks fail to compile (VMEM). Blocks must DIVIDE the
+    # sequence (the kernel asserts) — power-of-two images give power-of-two
+    # seqs, but e.g. 768^2 (SD-2.1-native) has 48^2 = 2304 = 1024 + cap.
+    bq = _divisor_block(n, 1024)
+    bk = _divisor_block(m, 1024)
+    bqd = _divisor_block(n, 1024 if n >= 4096 else 512)
+    bkd = _divisor_block(m, 512)
     sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,
@@ -147,9 +164,10 @@ def flash_cross_attention(
     )
     # On-chip sweep (B8/H8, kv 500->512, bf16, fwd+bwd): big query blocks win
     # when kv is one tile — N4096/D40: 6.03 (bq512) -> 5.75 ms (bq2048);
-    # N1024/D80: 2.66 -> 2.62 (bq1024). kv-side blocks stay at the padded tile.
-    bq = min(2048, n)
-    bk = min(512, m_pad)
+    # N1024/D80: 2.66 -> 2.62 (bq1024). kv-side blocks stay at the padded
+    # tile. Blocks must divide the (padded) sequence — see _divisor_block.
+    bq = _divisor_block(n, 2048)
+    bk = _divisor_block(m_pad, 512)
     sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,

@@ -333,9 +333,10 @@ class CrossAttention(nn.Module):
                 # upsample_bicubic_headmajor, fp-order only
                 from stablekeypoints_tpu.ops.resize import resize_matrix
 
-                wh = resize_matrix(s, capture_res, "bicubic").astype(q.dtype)
+                # square capture grid: one [O, X] matrix serves both the
+                # row resize (here) and the in-kernel column resize
                 ww = resize_matrix(s, capture_res, "bicubic").astype(q.dtype)
-                t = jnp.einsum("Oy,byxkd->bkOxd", wh, q5)
+                t = jnp.einsum("Oy,byxkd->bkOxd", ww, q5)
                 capture = capture_attention_fused(
                     t, ww, k, scale, self.pallas_interpret, mesh=self.mesh,
                     precise_bwd=self.capture_fp32_bwd,

@@ -2,13 +2,12 @@
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import optax
 
 from stablekeypoints_tpu.utils.checkpoint import TrainCheckpointer
 
 
-pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -109,3 +109,51 @@ def test_flash_cross_gradients_match_einsum():
         )(k, v)
     for a, b_ in zip(ge, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_divisor_block_non_power_of_two_seqs():
+    from stablekeypoints_tpu.kernels.flash import _divisor_block
+
+    assert _divisor_block(4096, 1024) == 1024   # power-of-two: unchanged
+    assert _divisor_block(512, 1024) == 512     # n <= cap: whole seq
+    assert _divisor_block(2304, 1024) == 256    # 48^2 (768px): 2304 % 1024 != 0
+    assert _divisor_block(9216, 2048) == 1024   # 96^2: 9216 % 2048 != 0
+    assert _divisor_block(25600, 1024) == 1024  # 160^2 (1280px)
+    assert _divisor_block(640, 512) == 128      # padded kv of 640 tokens
+
+
+def test_flash_non_power_of_two_seq_matches_einsum():
+    """768px-native shapes (SD-2.1): 48^2 = 2304 queries is divisible by 128
+    but not by the 1024 block cap — the block picker must fall back to a
+    divisor instead of crashing the kernel's divisibility assert."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(5)
+    b, n, h, d = 1, 2304, 2, 8
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    scale = 0.3
+    sim = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(sim, -1), v)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_self_attention(q, k, v, scale), np.float32)
+    np.testing.assert_allclose(got, np.asarray(ref, np.float32), atol=2e-5)
+
+
+def test_flash_cross_non_power_of_two_seq_matches_einsum():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stablekeypoints_tpu.kernels.flash import flash_cross_attention
+
+    rng = np.random.default_rng(6)
+    b, n, h, d, m = 1, 2304, 2, 8, 20
+    q = jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, m, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, m, h, d)), jnp.float32)
+    scale = 0.25
+    sim = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(sim, -1), v)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_cross_attention(q, k, v, scale), np.float32)
+    np.testing.assert_allclose(got, np.asarray(ref, np.float32), atol=2e-5)

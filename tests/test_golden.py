@@ -8,7 +8,6 @@ CPU fp32; loose tolerances absorb BLAS variation across hosts.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from stablekeypoints_tpu.ops.gaussians import gaussian_circle
 from stablekeypoints_tpu.ops.losses import equivariance_loss, sharpening_loss
@@ -16,7 +15,7 @@ from stablekeypoints_tpu.ops.selection import find_top_k_gaussian, furthest_poin
 from stablekeypoints_tpu.ops import transforms as T
 
 
-pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
 
 
 def _maps(seed=0, t=20, h=32):

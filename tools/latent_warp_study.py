@@ -95,6 +95,12 @@ def run_seed(seed: int):
     )
     object.__setattr__(rt_m, "unet_params", rt_e.unet_params)
     object.__setattr__(rt_m, "vae_params", rt_e.vae_params)
+    # black_latent was eagerly cached at create time from rt_m's OWN
+    # create-time VAE params (latent_warp=True); drop it so the border fill
+    # rebinds to the swapped-in params (identical today only because both
+    # runtimes share cfg.seed — do not rely on that)
+    rt_m.__dict__.pop("black_latent", None)
+    rt_m.black_latent  # eager re-precompute (must not be first-touched in-trace)
     os.makedirs(f"{base}/mixed", exist_ok=True)
     metric_mixed, _ = evaluate(rt_m, test, ctx_e, idx_e, reg_e)
 
