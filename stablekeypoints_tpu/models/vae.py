@@ -22,9 +22,12 @@ from stablekeypoints_tpu.models.layers import (
     Upsample,
 )
 
-__all__ = ["VAEConfig", "Encoder", "Decoder", "VAE", "SD_VAE_CONFIG", "SCALING_FACTOR"]
+__all__ = [
+    "VAEConfig", "Encoder", "Decoder", "VAE", "SD_VAE_CONFIG",
+    "SDXL_VAE_CONFIG", "SCALING_FACTOR",
+]
 
-SCALING_FACTOR = 0.18215  # ptp_utils.py:303
+SCALING_FACTOR = 0.18215  # ptp_utils.py:303 (SD-1.x / SD-2.x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -33,9 +36,18 @@ class VAEConfig:
     latent_channels: int = 4
     block_channels: tuple[int, ...] = (128, 256, 512, 512)
     layers_per_block: int = 2
+    # diffusers vae config scaling_factor: latents entering the UNet are
+    # mean * this. SD-1.x/2.x checkpoints: 0.18215 (reference
+    # ptp_utils.py:303); SDXL's retrained VAE: 0.13025 — using the SD value
+    # with an SDXL checkpoint feeds the UNet latents ~1.4x off the scale it
+    # was trained at, a silent numeric divergence.
+    scaling_factor: float = SCALING_FACTOR
 
 
 SD_VAE_CONFIG = VAEConfig()
+
+# same topology as SD's VAE, retrained for SDXL with a different scale
+SDXL_VAE_CONFIG = VAEConfig(scaling_factor=0.13025)
 
 
 def tiny_vae_config() -> VAEConfig:
@@ -187,10 +199,10 @@ class VAE(nn.Module):
         """images in [-1, 1], NHWC -> scaled latent mean [B, H/8, W/8, 4]."""
         moments = self.encoder(images)
         mean = moments[..., : self.config.latent_channels]
-        return mean * SCALING_FACTOR
+        return mean * self.config.scaling_factor
 
     def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
-        return self.decoder(latents / SCALING_FACTOR)
+        return self.decoder(latents / self.config.scaling_factor)
 
     def __call__(self, images):
         # full autoencode; used for initialization so both halves get params

@@ -128,12 +128,19 @@ class Runtime:
     def create(
         cfg: Config,
         unet_config: Optional[UNetConfig] = None,
-        vae_config: VAEConfig = SD_VAE_CONFIG,
+        vae_config: Optional[VAEConfig] = None,
         mesh: Optional[jax.sharding.Mesh] = None,
     ) -> "Runtime":
         _setup_compilation_cache(cfg)
         if unet_config is None:
             unet_config = unet_config_for_model_type(cfg.model_type)
+        if vae_config is None:
+            # SDXL's retrained VAE uses scaling_factor 0.13025 (same topology)
+            from stablekeypoints_tpu.models.vae import SDXL_VAE_CONFIG
+
+            vae_config = (
+                SDXL_VAE_CONFIG if "xl" in cfg.model_type.lower() else SD_VAE_CONFIG
+            )
         mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
         mesh_platform = mesh.devices.flat[0].platform
         if cfg.pallas_capture != "off":

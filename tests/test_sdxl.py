@@ -208,3 +208,45 @@ def test_sdxl_512_capture_rule_pins_four_layers_and_truncates():
     assert eps is None  # truncated after the 4th captured map
     for c in caps:
         assert c.shape == (1, 256, 10)
+
+
+def test_sdxl_vae_scaling_factor():
+    """SDXL's retrained VAE scales latents by 0.13025, not SD's 0.18215
+    (diffusers vae/config.json) — using the SD constant feeds the UNet
+    latents ~1.4x off the distribution the checkpoint was trained on."""
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.models.vae import (
+        SD_VAE_CONFIG,
+        SDXL_VAE_CONFIG,
+        VAE,
+        tiny_vae_config,
+    )
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+
+    assert SD_VAE_CONFIG.scaling_factor == pytest.approx(0.18215)
+    assert SDXL_VAE_CONFIG.scaling_factor == pytest.approx(0.13025)
+
+    # Runtime dispatch: sdxl model_type picks the SDXL VAE scale
+    cfg = Config(
+        dataset_name="synthetic", model_type="sdxl", image_size=64,
+        num_tokens=8, feature_upsample_res=16, dtype="float32",
+    )
+    rt = Runtime.create(cfg, sdxl_tiny_config(), mesh=pmesh.make_mesh(1, 1))
+    assert rt.vae.config.scaling_factor == pytest.approx(0.13025)
+
+    # encode_mean actually applies the config's scale
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    base = tiny_vae_config()
+    va = VAE(dataclasses.replace(base, scaling_factor=0.18215), dtype=jnp.float32)
+    vb = VAE(dataclasses.replace(base, scaling_factor=0.13025), dtype=jnp.float32)
+    img = jnp.ones((1, 32, 32, 3)) * 0.3
+    params = va.init(jax.random.PRNGKey(0), img)["params"]
+    la = va.apply({"params": params}, img, method=VAE.encode_mean)
+    lb = vb.apply({"params": params}, img, method=VAE.encode_mean)
+    np.testing.assert_allclose(
+        np.asarray(la) / 0.18215, np.asarray(lb) / 0.13025, rtol=1e-6
+    )
