@@ -155,9 +155,19 @@ def main(argv=None):
         help="classifier-free guidance scale; 1.0 = text-only "
         "(the reference's executed low_resource=True path)",
     )
+    p.add_argument(
+        "--uncond_path", type=str, default=None,
+        help="optional .npy/.pt embedding for the CFG unconditional branch "
+        "(e.g. a saved CLIP('') encoding, the reference's uncond at "
+        "ptp_utils.py:431-435); default zeros",
+    )
     args = p.parse_args(argv)
 
     embedding = load_artifact(args.save_folder, "embedding")
+    uncond = None
+    if args.uncond_path:
+        d, f = os.path.split(args.uncond_path)
+        uncond = jnp.asarray(load_artifact(d or ".", os.path.splitext(f)[0]))
     cfg = Config(
         model_type=args.model_type, model_path=args.model_path,
         image_size=args.image_size, num_tokens=embedding.shape[1], seed=args.seed,
@@ -165,7 +175,7 @@ def main(argv=None):
     runtime = Runtime.create(cfg)
     images, _ = generate_images(
         runtime, jnp.asarray(embedding), args.num_images,
-        guidance_scale=args.guidance_scale,
+        guidance_scale=args.guidance_scale, uncond_context=uncond,
     )
     for i, img in enumerate(images):
         out = os.path.join(args.save_folder, f"generated_{i:03d}.png")
