@@ -152,12 +152,16 @@ def main():
     if os.environ.get("BENCH_MODE", "train").lower() == "detect":
         bench_detect()
         return
-    # BENCH_MODEL=sdxl benches the SDXL backbone (1024^2, batch 1) instead
-    # of the headline SD-1.5 workload; prints the same one-line contract.
-    sdxl = os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl"
-    batch = int(os.environ.get("BENCH_BATCH", "1" if sdxl else "4"))
+    # BENCH_MODEL=sdxl (1024^2, batch 1) or sd21 (768^2-native, batch 2)
+    # bench those backbones instead of the headline SD-1.5 workload; same
+    # one-line contract.
+    model = os.environ.get("BENCH_MODEL", "sd15").lower()
+    defaults = {"sd15": ("4", "512"), "sd21": ("2", "768"), "sdxl": ("1", "1024")}
+    if model not in defaults:
+        sys.exit(f"BENCH_MODEL={model!r}: expected one of {sorted(defaults)}")
+    batch = int(os.environ.get("BENCH_BATCH", defaults[model][0]))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
-    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024" if sdxl else "512"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", defaults[model][1]))
     num_tokens = int(os.environ.get("BENCH_NUM_TOKENS", "500"))
     # BENCH_CACHE: 'both' (default) measures hit + fill; '1' / '0' restrict
     # to one variant (ablations)
@@ -167,7 +171,7 @@ def main():
 
     cfg = Config(
         dataset_name="synthetic",
-        model_type="sdxl" if sdxl else Config.model_type,
+        model_type=Config.model_type if model == "sd15" else model,
         image_size=image_size,
         num_tokens=num_tokens,
         batch_size=batch,
@@ -225,7 +229,7 @@ def main():
 
     headline = results.get("hit", results.get("fill"))
     per_chip = headline[0]
-    name = "sdxl" if sdxl else "sd15"
+    name = model
     steady = (
         "latent-cache-hit steady state = multi-epoch workloads"
         if "hit" in results
