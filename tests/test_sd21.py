@@ -114,3 +114,29 @@ def test_sd21_conversion_covers_every_param():
     assert set(flat_out) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(flat_out[k], flat[k], err_msg=k)
+
+
+def test_sd21_stage12_pipeline():
+    """Stages 1-2 run end-to-end on the SD-2.x topology (v-prediction does
+    not matter here — training consumes attention maps only)."""
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.data.synthetic import SyntheticBlobs
+    from stablekeypoints_tpu.models.vae import tiny_vae_config
+    from stablekeypoints_tpu.parallel import mesh as pmesh
+    from stablekeypoints_tpu.pipeline.indices import find_best_indices
+    from stablekeypoints_tpu.pipeline.optimize import optimize_embedding
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    cfg = Config(
+        dataset_name="synthetic", model_type="sd21", image_size=64,
+        num_tokens=16, feature_upsample_res=16, batch_size=8, num_steps=2,
+        num_indices=4, furthest_point_num_samples=8, top_k=4,
+        dtype="float32",
+    )
+    rt = Runtime.create(cfg, sd21_tiny_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
+    assert rt.unet.config.head_dim_fixed == 16  # the SD2-style head layout
+    ds = SyntheticBlobs(length=16, image_size=64, num_kpts=4, seed=3)
+    ctx = optimize_embedding(rt, ds)
+    assert ctx.shape == (1, 16, 48) and np.isfinite(np.asarray(ctx)).all()
+    indices = find_best_indices(rt, ds, ctx)
+    assert indices.shape == (4,) and len(set(indices.tolist())) == 4
