@@ -662,39 +662,40 @@ class Runtime:
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 
+    def _ensembled_keypoints(self, unet_params, vae_params, context, images, indices, key):
+        """Ensembled maps reduced to keypoints on device: [M, k, 2]
+        normalized (y, x) via argmax/soft-argmax (eval.py:447-450,
+        keypoint_regressor.py:174-192). Shared by `augmented_keypoints_fn`
+        and the serving exporter (`stablekeypoints_tpu.serving`)."""
+        from stablekeypoints_tpu.ops.keypoints import (
+            find_max_pixel,
+            pixel_from_weighted_avg,
+        )
+
+        avg = self._ensembled_maps(
+            unet_params, vae_params, context, images, indices, key
+        )
+        m, kk, size = avg.shape[0], avg.shape[1], avg.shape[2]
+        flat = avg.reshape(m * kk, size, size)
+        if self.cfg.max_loc_strategy == "argmax":
+            pts = find_max_pixel(flat)
+        else:
+            pts = pixel_from_weighted_avg(flat)
+        return pts.reshape(m, kk, 2) / size
+
     @functools.cached_property
     def augmented_keypoints_fn(self):
         """Ensembled keypoints for a batch of images, extracted on device.
 
         (context, images [M, H, W, 3], indices [k], key) -> [M, k, 2]
-        normalized (y, x): the ensemble reduced by argmax/soft-argmax
-        (eval.py:447-450, keypoint_regressor.py:174-192) — only [M, k, 2]
-        leaves the device (the reference ships [k, 512, 512] maps to the
-        host per image).
+        normalized (y, x) — only [M, k, 2] leaves the device (the reference
+        ships [k, 512, 512] maps to the host per image).
         """
-        cfg = self.cfg
         repl = pmesh.replicated(self.mesh)
-
-        def fn(unet_params, vae_params, context, images, indices, key):
-            avg = self._ensembled_maps(
-                unet_params, vae_params, context, images, indices, key
-            )
-            m, kk, size = avg.shape[0], avg.shape[1], avg.shape[2]
-
-            from stablekeypoints_tpu.ops.keypoints import (
-                find_max_pixel,
-                pixel_from_weighted_avg,
-            )
-
-            flat = avg.reshape(m * kk, size, size)
-            if cfg.max_loc_strategy == "argmax":
-                pts = find_max_pixel(flat)
-            else:
-                pts = pixel_from_weighted_avg(flat)
-            return pts.reshape(m, kk, 2) / size
-
         jitted = jax.jit(
-            fn, in_shardings=(None, None, repl, repl, repl, repl), out_shardings=repl
+            self._ensembled_keypoints,
+            in_shardings=(None, None, repl, repl, repl, repl),
+            out_shardings=repl,
         )
         return functools.partial(jitted, self.unet_params, self.vae_params)
 

@@ -1,0 +1,137 @@
+"""Serving export roundtrip: jax.export artifact == live runtime.
+
+The reference has no serving/deployment path (its detector requires the
+full torch + diffusers stack and runtime monkey-patching); this tests the
+framework's AOT artifact: export -> serialize -> deserialize -> call must
+reproduce the live `augmented_keypoints_fn` exactly, with weights baked in.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stablekeypoints_tpu.config import Config
+from stablekeypoints_tpu.models.unet import tiny_unet_config
+from stablekeypoints_tpu.models.vae import tiny_vae_config
+from stablekeypoints_tpu.parallel import mesh as pmesh
+from stablekeypoints_tpu.pipeline.runtime import Runtime
+from stablekeypoints_tpu.serving import ServedDetector, export_detector
+
+pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+
+SIZE = 64
+TOP_K = 4
+BATCH = 2
+
+
+@pytest.fixture(scope="module")
+def rt():
+    cfg = Config(
+        dataset_name="synthetic", image_size=SIZE, num_tokens=16,
+        feature_upsample_res=16, top_k=TOP_K, augmentation_iterations=4,
+        dtype="float32",
+    )
+    return Runtime.create(cfg, tiny_unet_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
+
+
+@pytest.fixture(scope="module")
+def learned(rt):
+    rng = np.random.default_rng(3)
+    context = (0.1 * rng.standard_normal((1, 16, rt.unet.config.context_dim))).astype(np.float32)
+    indices = np.asarray([1, 5, 9, 13], np.int32)
+    return context, indices
+
+
+def test_export_roundtrip_matches_live(tmp_path, rt, learned):
+    context, indices = learned
+    out = str(tmp_path / "serving")
+    manifest = export_detector(rt, context, indices, out, batch=BATCH)
+
+    assert os.path.exists(os.path.join(out, "detector.stablehlo"))
+    with open(os.path.join(out, "manifest.json")) as f:
+        assert json.load(f) == manifest
+    assert manifest["batch"] == BATCH
+    assert manifest["top_k"] == TOP_K
+    assert manifest["outputs"] == ["keypoints"]
+    assert manifest["blob_bytes"] > 0
+
+    det = ServedDetector.load(out)
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(0, 1, (BATCH, SIZE, SIZE, 3)).astype(np.float32)
+    served = det.detect(imgs, seed=11)
+    assert set(served) == {"keypoints"}
+    assert served["keypoints"].shape == (BATCH, TOP_K, 2)
+
+    live = np.asarray(
+        rt.augmented_keypoints_fn(
+            jnp.asarray(context), imgs, jnp.asarray(indices),
+            jax.random.PRNGKey(np.uint32(11)),
+        )
+    )
+    np.testing.assert_allclose(served["keypoints"], live, atol=1e-5)
+
+    # a different seed must change the ensemble views (and so, generically,
+    # the detections) — the seed argument is live, not baked
+    other = det.detect(imgs, seed=12)["keypoints"]
+    assert np.abs(other - served["keypoints"]).max() > 0
+
+
+def test_export_with_regressor(tmp_path, rt, learned):
+    context, indices = learned
+    rng = np.random.default_rng(5)
+    n_gt = 3
+    reg = rng.standard_normal((2 * TOP_K, 2 * n_gt)).astype(np.float32) * 0.1
+    out = str(tmp_path / "serving_reg")
+    manifest = export_detector(rt, context, indices, out, batch=1, regressor=reg)
+    assert manifest["outputs"] == ["keypoints", "regressed"]
+    assert manifest["num_regressed"] == n_gt
+
+    det = ServedDetector.load(out)
+    imgs = rng.uniform(0, 1, (1, SIZE, SIZE, 3)).astype(np.float32)
+    got = det.detect(imgs, seed=2)
+    assert got["regressed"].shape == (1, n_gt, 2)
+
+    # regressed == apply_regressor on the raw keypoints (eval.py:453)
+    from stablekeypoints_tpu.pipeline.metrics import apply_regressor
+
+    want = apply_regressor(got["keypoints"][0], reg)
+    np.testing.assert_allclose(got["regressed"][0], want, atol=1e-5)
+
+
+def test_regressor_shape_validated(tmp_path, rt, learned):
+    context, indices = learned
+    bad = np.zeros((2 * TOP_K + 2, 4), np.float32)
+    with pytest.raises(ValueError, match="regressor rows"):
+        export_detector(rt, context, indices, str(tmp_path / "x"), regressor=bad)
+
+
+def test_batch_shape_validated(tmp_path, rt, learned):
+    context, indices = learned
+    out = str(tmp_path / "serving_b1")
+    export_detector(rt, context, indices, out, batch=1)
+    det = ServedDetector.load(out)
+    with pytest.raises(ValueError, match="exported for images of shape"):
+        det.detect(np.zeros((2, SIZE, SIZE, 3), np.float32))
+
+
+def test_multiplatform_export(tmp_path, rt, learned):
+    """cpu+tpu lowering in one artifact (the deploy-anywhere story). TPU
+    lowering happens without a TPU backend (cross-platform lowering); if
+    this jax build cannot lower a needed op for tpu, skip rather than fail."""
+    context, indices = learned
+    out = str(tmp_path / "serving_mp")
+    try:
+        manifest = export_detector(
+            rt, context, indices, out, batch=1, platforms=("cpu", "tpu")
+        )
+    except Exception as e:  # pragma: no cover - backend-dependent
+        pytest.skip(f"cross-platform lowering unavailable: {e}")
+    assert manifest["platforms"] == ["cpu", "tpu"]
+    det = ServedDetector.load(out)
+    imgs = np.zeros((1, SIZE, SIZE, 3), np.float32)
+    assert det.detect(imgs)["keypoints"].shape == (1, TOP_K, 2)
