@@ -178,6 +178,7 @@ def main():
         dtype="bfloat16",
         remat=os.environ.get("BENCH_REMAT", "auto"),  # ablation knob
         fused_groupnorm=os.environ.get("BENCH_FUSED_GN", "auto"),  # ablation knob
+        capture_dtype=os.environ.get("BENCH_CAPTURE_DTYPE", "fp32"),  # ablation knob
         # APPROXIMATION ablation (never the headline): warp cached latents
         # instead of encoding warped images on cache-hit steps
         latent_warp=os.environ.get("BENCH_LATENT_WARP", "0") == "1",

@@ -80,6 +80,12 @@ class Config:
     # dsim contraction in fp32 (one rounding, matching the einsum fallback)
     # instead of the default bf16 MXU-rate matmuls (~1-ulp gradient noise)
     capture_fp32_bwd: bool = False
+    # dtype of the captured [B, res^2, T] attention maps. bf16 halves their
+    # HBM write + cotangent read (the head-mean still accumulates in fp32 and
+    # rounds once); ~0.4% relative per map value. Measured approximation —
+    # default stays fp32 (reference-exact); validate per-checkpoint via
+    # tools/validate_real_weights.py before enabling for training
+    capture_dtype: str = "fp32"  # fp32|bf16
     flash_attention: str = "auto"  # auto|on|off: flash kernel for long self-attn
     fused_groupnorm: str = "auto"  # auto|on|off: fused VAE GroupNorm+SiLU kernel
     # rematerialization of transformer blocks in the backward. auto = off

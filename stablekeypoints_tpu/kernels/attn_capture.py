@@ -66,16 +66,39 @@ def _softmax_tile(qh, kh, valid, scale):
     return jax.nn.softmax(sim, axis=-1)
 
 
-def _fwd_kernel(q_ref, k_ref, out_ref, *, heads: int, t_true: int, scale: float):
-    bn, t_pad = out_ref.shape[1], out_ref.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
-    p = _softmax_tile(q_ref[0, 0], k_ref[0, 0], col < t_true, scale)
+def _accumulate_headmean(p, out_ref, acc, heads: int):
+    """Accumulate p/heads into the output block across the head grid dim.
+
+    fp32 outputs accumulate directly in the resident out block. Narrow
+    (bf16) outputs accumulate in an fp32 VMEM scratch and round ONCE at the
+    last head — per-head rounding would compound across the 8-head sum on
+    values that are only ~1/num_tokens to begin with."""
+    if not acc:
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            out_ref[0] = jnp.zeros_like(out_ref[0])
+
+        out_ref[0] += p * (1.0 / heads)
+        return
+
+    acc_ref = acc[0]
 
     @pl.when(pl.program_id(2) == 0)
     def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    out_ref[0] += p * (1.0 / heads)
+    acc_ref[...] += p * (1.0 / heads)
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _fwd_kernel(q_ref, k_ref, out_ref, *acc, heads: int, t_true: int, scale: float):
+    bn, t_pad = out_ref.shape[1], out_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
+    p = _softmax_tile(q_ref[0, 0], k_ref[0, 0], col < t_true, scale)
+    _accumulate_headmean(p, out_ref, acc, heads)
 
 
 def _bwd_kernel(
@@ -88,7 +111,7 @@ def _bwd_kernel(
     qh = q_ref[0, 0]
     kh = k_ref[0, 0]
     p = _softmax_tile(qh, kh, valid, scale)
-    g = g_ref[0] * (1.0 / heads)
+    g = g_ref[0].astype(jnp.float32) * (1.0 / heads)  # g may arrive bf16
     t1 = g * p
     dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
     dsim = jnp.where(valid, dsim, 0.0)
@@ -150,17 +173,12 @@ def _build_q(t_tile, ww, out_dtype):
     return jnp.concatenate(rows, axis=0)
 
 
-def _fwd_kernel_fused(t_ref, ww_ref, k_ref, out_ref, *, heads, t_true, scale):
+def _fwd_kernel_fused(t_ref, ww_ref, k_ref, out_ref, *acc, heads, t_true, scale):
     bn, t_pad = out_ref.shape[1], out_ref.shape[2]
     qh = _build_q(t_ref[0, 0], ww_ref[...], k_ref.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
     p = _softmax_tile(qh, k_ref[0, 0], col < t_true, scale)
-
-    @pl.when(pl.program_id(2) == 0)
-    def _():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
-
-    out_ref[0] += p * (1.0 / heads)
+    _accumulate_headmean(p, out_ref, acc, heads)
 
 
 def _bwd_kernel_fused(
@@ -172,7 +190,7 @@ def _bwd_kernel_fused(
     kh = k_ref[0, 0]
     qh = _build_q(t_ref[0, 0], ww_ref[...], kh.dtype)
     p = _softmax_tile(qh, kh, valid, scale)
-    g = g_ref[0] * (1.0 / heads)
+    g = g_ref[0].astype(jnp.float32) * (1.0 / heads)  # g may arrive bf16
     t1 = g * p
     dsim = (t1 - p * jnp.sum(t1, axis=-1, keepdims=True)) * scale
     dsim = jnp.where(valid, dsim, 0.0)
@@ -212,21 +230,25 @@ def _prep_k(k):
     return kh, t_pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _capture_core(
     q: jnp.ndarray, k: jnp.ndarray, scale: float, interpret: bool, total_heads: int,
-    precise_bwd: bool = False,
+    precise_bwd: bool = False, out_dtype=jnp.float32,
 ):
-    """q: [B, H, N, D], k: [B, T, H, D] -> [B, N, T] fp32; sums the local
-    heads' softmaxes scaled by 1/total_heads (the full head-mean when
-    total_heads == H; a partial sum to be psum'ed under tensor parallelism)."""
-    out, _ = _capture_fwd(q, k, scale, interpret, total_heads, precise_bwd)
+    """q: [B, H, N, D], k: [B, T, H, D] -> [B, N, T] out_dtype; sums the
+    local heads' softmaxes scaled by 1/total_heads (the full head-mean when
+    total_heads == H; a partial sum to be psum'ed under tensor parallelism).
+    out_dtype=bf16 halves the HBM write of the [B, N, T] maps (and the read
+    of their cotangent); the head-mean still accumulates in fp32 and rounds
+    once at the output write."""
+    out, _ = _capture_fwd(q, k, scale, interpret, total_heads, precise_bwd, out_dtype)
     return out
 
 
-def _run_fwd(qh, kh, t, t_pad, scale, interpret, total_heads):
+def _run_fwd(qh, kh, t, t_pad, scale, interpret, total_heads, out_dtype=jnp.float32):
     b, h, n, d = qh.shape
     bn = _block_n(n)
+    narrow = jnp.dtype(out_dtype) != jnp.dtype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=total_heads, t_true=t, scale=scale),
         grid=(b, n // bn, h),  # h innermost: out block accumulates in VMEM
@@ -235,26 +257,29 @@ def _run_fwd(qh, kh, t, t_pad, scale, interpret, total_heads):
             pl.BlockSpec((1, 1, t_pad, d), lambda i, j, hh: (i, hh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bn, t_pad), lambda i, j, hh: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, t_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, t_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn, t_pad), jnp.float32)] if narrow else [],
         interpret=interpret,
     )(qh, kh)
     return out[:, :, :t]
 
 
-def _capture_fwd(q, k, scale, interpret, total_heads, precise_bwd=False):
+def _capture_fwd(q, k, scale, interpret, total_heads, precise_bwd=False, out_dtype=jnp.float32):
     t = k.shape[1]
     kh, t_pad = _prep_k(k)
-    out = _run_fwd(q, kh, t, t_pad, scale, interpret, total_heads)
+    out = _run_fwd(q, kh, t, t_pad, scale, interpret, total_heads, out_dtype)
     # residuals are already kernel-layout: no relayout in the backward
     return out, (q, kh, t)
 
 
-def _capture_bwd(scale, interpret, total_heads, precise_bwd, res, g):
+def _capture_bwd(scale, interpret, total_heads, precise_bwd, out_dtype, res, g):
     qh, kh, t = res
     b, h, n, d = qh.shape
     t_pad = kh.shape[2]
     bn = _block_n(n)
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t))).astype(jnp.float32)
+    # g keeps its own dtype (bf16 when out_dtype is bf16 — half the HBM
+    # read); the kernel widens it to fp32 before the softmax VJP
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - t)))
 
     dq, dk = pl.pallas_call(
         functools.partial(
@@ -291,18 +316,20 @@ def fused_capture_ok(out_h: int, out_w: int) -> bool:
     return n >= out_w and _block_n(n) % out_w == 0
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _capture_core_fused(
     t: jnp.ndarray, ww: jnp.ndarray, k: jnp.ndarray, scale: float,
     interpret: bool, total_heads: int, precise_bwd: bool = False,
+    out_dtype=jnp.float32,
 ):
     """t: [B, H, O, X, D] row-resized queries, ww: [P, X] column-resize
-    matrix, k: [B, T, H, D] -> [B, O*P, T] fp32 (see fused-upsample note)."""
-    out, _ = _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd)
+    matrix, k: [B, T, H, D] -> [B, O*P, T] out_dtype (see fused-upsample
+    note; fp32 head-mean accumulation, one rounding at the write)."""
+    out, _ = _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd, out_dtype)
     return out
 
 
-def _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd=False):
+def _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd=False, out_dtype=jnp.float32):
     tt = k.shape[1]
     kh, t_pad = _prep_k(k)
     b, h, O, X, d = t.shape
@@ -310,6 +337,7 @@ def _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd=Fals
     n = O * P
     bn = _block_n(n)
     bo = bn // P
+    narrow = jnp.dtype(out_dtype) != jnp.dtype(jnp.float32)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel_fused, heads=total_heads, t_true=tt, scale=scale),
         grid=(b, n // bn, h),  # h innermost: out block accumulates in VMEM
@@ -319,13 +347,14 @@ def _capture_fused_fwd(t, ww, k, scale, interpret, total_heads, precise_bwd=Fals
             pl.BlockSpec((1, 1, t_pad, d), lambda i, j, hh: (i, hh, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bn, t_pad), lambda i, j, hh: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, t_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, n, t_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bn, t_pad), jnp.float32)] if narrow else [],
         interpret=interpret,
     )(t, ww, kh)
     return out[:, :, :tt], (t, ww, kh, tt)
 
 
-def _capture_fused_bwd(scale, interpret, total_heads, precise_bwd, res, g):
+def _capture_fused_bwd(scale, interpret, total_heads, precise_bwd, out_dtype, res, g):
     t, ww, kh, tt = res
     b, h, O, X, d = t.shape
     P = ww.shape[0]
@@ -333,7 +362,7 @@ def _capture_fused_bwd(scale, interpret, total_heads, precise_bwd, res, g):
     t_pad = kh.shape[2]
     bn = _block_n(n)
     bo = bn // P
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - tt))).astype(jnp.float32)
+    gp = jnp.pad(g, ((0, 0), (0, 0), (0, t_pad - tt)))  # widened in-kernel
 
     dt, dk = pl.pallas_call(
         functools.partial(
@@ -373,10 +402,12 @@ def capture_attention_fused(
     interpret: bool = False,
     mesh=None,
     precise_bwd: bool = False,
+    out_dtype=jnp.float32,
 ):
     """Fused-upsample capture: t [B, H, O, X, D] (row-resized queries),
-    ww [P, X] (column-resize matrix), k [B, T, H, D] -> [B, O*P, T] fp32
-    head-mean softmax. Same shard_map strategy as `capture_attention`."""
+    ww [P, X] (column-resize matrix), k [B, T, H, D] -> [B, O*P, T]
+    out_dtype head-mean softmax. Same shard_map strategy as
+    `capture_attention`."""
     b, h, O, X, d = t.shape
     if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import PartitionSpec as P_
@@ -385,7 +416,7 @@ def capture_attention_fused(
         n_model = mesh.shape.get("model", 1)
         if b % n_data == 0 and h % n_model == 0:
             def local(ts, wws, ks):
-                part = _capture_core_fused(ts, wws, ks, scale, interpret, h, precise_bwd)
+                part = _capture_core_fused(ts, wws, ks, scale, interpret, h, precise_bwd, out_dtype)
                 if n_model > 1:
                     part = jax.lax.psum(part, "model")
                 return part
@@ -401,7 +432,7 @@ def capture_attention_fused(
                 out_specs=P_("data", None, None),
                 check_vma=False,
             )(t, ww, k)
-    return _capture_core_fused(t, ww, k, scale, interpret, h, precise_bwd)
+    return _capture_core_fused(t, ww, k, scale, interpret, h, precise_bwd, out_dtype)
 
 
 def capture_attention(
@@ -411,8 +442,9 @@ def capture_attention(
     interpret: bool = False,
     mesh=None,
     precise_bwd: bool = False,
+    out_dtype=jnp.float32,
 ):
-    """q: [B, H, N, D] (head-major), k: [B, T, H, D] -> [B, N, T] fp32
+    """q: [B, H, N, D] (head-major), k: [B, T, H, D] -> [B, N, T] out_dtype
     head-mean softmax.
 
     mesh: the runtime's (data, model) device mesh. Pallas calls are opaque
@@ -430,7 +462,7 @@ def capture_attention(
         n_model = mesh.shape.get("model", 1)
         if b % n_data == 0 and h % n_model == 0:
             def local(qs, ks):
-                part = _capture_core(qs, ks, scale, interpret, h, precise_bwd)
+                part = _capture_core(qs, ks, scale, interpret, h, precise_bwd, out_dtype)
                 if n_model > 1:
                     part = jax.lax.psum(part, "model")
                 return part
@@ -447,4 +479,4 @@ def capture_attention(
                 check_vma=False,
             )(q, k)
         # uneven batch/heads (e.g. eval view counts): replicated fallback
-    return _capture_core(q, k, scale, interpret, h, precise_bwd)
+    return _capture_core(q, k, scale, interpret, h, precise_bwd, out_dtype)

@@ -259,6 +259,10 @@ class CrossAttention(nn.Module):
     pallas_capture: bool = False  # fused Pallas kernel for the capture path
     pallas_interpret: bool = False  # interpret mode (non-TPU meshes)
     capture_fp32_bwd: bool = False  # fp32 dsim contraction in the kernel bwd
+    # emit captured maps in bf16 (halves their HBM write + cotangent read;
+    # head-mean still accumulates fp32). Flag-gated approximation — maps are
+    # ~1/num_tokens in magnitude, so bf16 costs ~0.4% relative per value
+    capture_bf16: bool = False
     flash: bool = False  # Pallas flash attention for long self-attention
     # device mesh for multi-chip runs: Pallas kernels are opaque to GSPMD,
     # so on >1-device meshes they run under shard_map (batch over 'data',
@@ -325,6 +329,7 @@ class CrossAttention(nn.Module):
                 fused_capture_ok,
             )
 
+            cap_dtype = jnp.bfloat16 if self.capture_bf16 else jnp.float32
             if self.pallas_capture and fused_capture_ok(capture_res, capture_res):
                 # row-resize to [B, H, O, X, D] (42 MB at 128^2/1280ch); the
                 # column resize runs INSIDE the kernel, so the upsampled
@@ -339,13 +344,13 @@ class CrossAttention(nn.Module):
                 t = jnp.einsum("Oy,byxkd->bkOxd", ww, q5)
                 capture = capture_attention_fused(
                     t, ww, k, scale, self.pallas_interpret, mesh=self.mesh,
-                    precise_bwd=self.capture_fp32_bwd,
+                    precise_bwd=self.capture_fp32_bwd, out_dtype=cap_dtype,
                 )
             elif self.pallas_capture:
                 q_up = upsample_bicubic_headmajor(q5, capture_res, capture_res)
                 capture = capture_attention(
                     q_up, k, scale, self.pallas_interpret, mesh=self.mesh,
-                    precise_bwd=self.capture_fp32_bwd,
+                    precise_bwd=self.capture_fp32_bwd, out_dtype=cap_dtype,
                 )
             else:
                 q_up = upsample_bicubic_headmajor(q5, capture_res, capture_res)
@@ -353,7 +358,7 @@ class CrossAttention(nn.Module):
                     "bhnd,bmhd->bhnm", q_up, k, preferred_element_type=jnp.float32
                 )
                 attn_up = jax.nn.softmax(sim_up * scale, axis=-1)
-                capture = attn_up.mean(axis=1)  # [B, res^2, T], fp32
+                capture = attn_up.mean(axis=1).astype(cap_dtype)  # [B, res^2, T]
 
         return out, capture
 
@@ -404,6 +409,7 @@ class BasicTransformerBlock(nn.Module):
     capture_fp32_bwd: bool = False
     flash: bool = False
     mesh: "object" = None
+    capture_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -415,7 +421,8 @@ class BasicTransformerBlock(nn.Module):
         h, capture = CrossAttention(
             self.heads, self.dim_head, self.dtype, self.capture_res,
             self.pallas_capture, self.pallas_interpret, self.capture_fp32_bwd,
-            flash=self.flash, mesh=self.mesh, name="attn2"
+            flash=self.flash, mesh=self.mesh, capture_bf16=self.capture_bf16,
+            name="attn2"
         )(LayerNorm32(name="norm2")(x), context)
         x = x + h
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
@@ -437,6 +444,7 @@ class Transformer2D(nn.Module):
     capture_fp32_bwd: bool = False
     flash: bool = False
     mesh: "object" = None
+    capture_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -455,7 +463,7 @@ class Transformer2D(nn.Module):
                 inner, self.heads, self.dim_head, self.dtype, res,
                 self.pallas_capture, self.pallas_interpret,
                 self.capture_fp32_bwd, self.flash,
-                self.mesh, name=f"blocks_{i}"
+                self.mesh, capture_bf16=self.capture_bf16, name=f"blocks_{i}"
             )(x, context)
             if cap is not None:
                 captures.append(cap)

@@ -95,6 +95,9 @@ class UNetConfig:
     # keep the capture backward's dsim contraction in fp32 (strict parity
     # with the einsum fallback's rounding) instead of bf16 MXU-rate matmuls
     capture_fp32_bwd: bool = False
+    # emit captured maps bf16 (halved HBM traffic on the [B, res^2, T]
+    # tensors; fp32 head-mean accumulation). Flag-gated approximation
+    capture_bf16: bool = False
     # Pallas flash attention for the long (>=1024-query) self-attention
     # layers: never materializes the [B, heads, seq, seq] similarity (4.3 GB
     # at 64^2/batch 8) — TPU only, einsum path elsewhere
@@ -266,6 +269,7 @@ class UpBlock(nn.Module):
                     pallas_capture=cfg.pallas_capture,
                     pallas_interpret=cfg.pallas_interpret,
                     capture_fp32_bwd=cfg.capture_fp32_bwd,
+                    capture_bf16=cfg.capture_bf16,
                     flash=cfg.flash_attention,
                     mesh=self.mesh,
                     name=f"attentions_{i}",

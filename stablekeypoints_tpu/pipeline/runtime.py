@@ -102,7 +102,8 @@ def collect_maps(
     if indices is not None:
         # select before stacking: only one full-token map is ever live
         sel = [c[:, :, indices] for c in sel]
-    maps = jnp.mean(jnp.stack(sel, axis=0), axis=0)  # [B, R^2, T']
+    # fp32 accumulation (captures may be bf16 under capture_dtype=bf16)
+    maps = jnp.mean(jnp.stack(sel, axis=0), axis=0, dtype=jnp.float32)  # [B, R^2, T']
     b, rr, t = maps.shape
     r = int(round(rr**0.5))
     maps = maps.transpose(0, 2, 1).reshape(b, t, r, r)
@@ -159,6 +160,9 @@ class Runtime:
                     pallas_interpret=interp,
                     capture_fp32_bwd=cfg.capture_fp32_bwd,
                 )
+        want_cap_bf16 = cfg.capture_dtype == "bf16"
+        if want_cap_bf16 != unet_config.capture_bf16:
+            unet_config = dataclasses.replace(unet_config, capture_bf16=want_cap_bf16)
         use_flash = cfg.flash_attention == "on" or (
             cfg.flash_attention == "auto" and mesh_platform == "tpu"
         )

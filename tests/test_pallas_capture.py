@@ -222,3 +222,46 @@ def test_backward_precise_bwd_tight_parity():
         b = np.asarray(b, np.float32)
         denom = np.abs(b).max()
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-3)
+
+
+def test_bf16_out_close_to_fp32():
+    """capture_dtype=bf16: maps within one bf16 ulp of the fp32 output
+    (head-mean must accumulate fp32 and round ONCE at the write — per-head
+    bf16 accumulation would compound across the head sum)."""
+    q, k = _make(b=2, n=256, h=8, d=16, t=100)
+    out32 = np.asarray(capture_attention(q, k, 0.25, True))
+    out16 = capture_attention(q, k, 0.25, True, out_dtype=jnp.bfloat16)
+    assert out16.dtype == jnp.bfloat16
+    rel = np.abs(np.asarray(out16, np.float32) - out32) / (out32 + 1e-9)
+    assert rel.max() < 2 ** -8  # single bf16 rounding, not sqrt(heads) of them
+
+
+def test_bf16_out_gradients_close():
+    q, k = _make(b=1, n=128, h=4, d=16, t=45)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (1, 128, 45), jnp.float32)
+
+    def loss(out_dtype):
+        def f(q, k):
+            m = capture_attention(q, k, 0.25, True, out_dtype=out_dtype)
+            return jnp.sum(m.astype(jnp.float32) * cot)
+        return f
+
+    gq16, gk16 = jax.grad(loss(jnp.bfloat16), argnums=(0, 1))(q, k)
+    gq32, gk32 = jax.grad(loss(jnp.float32), argnums=(0, 1))(q, k)
+    for a, b in ((gq16, gq32), (gk16, gk32)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = np.abs(b).max()
+        np.testing.assert_allclose(a / denom, b / denom, atol=1e-2)
+
+
+def test_bf16_out_fused_variant():
+    from stablekeypoints_tpu.kernels.attn_capture import capture_attention_fused
+
+    tt, ww, k, _ = _fused_inputs()
+    got32 = np.asarray(capture_attention_fused(tt, ww, k, 0.25, interpret=True))
+    got16 = capture_attention_fused(
+        tt, ww, k, 0.25, interpret=True, out_dtype=jnp.bfloat16
+    )
+    assert got16.dtype == jnp.bfloat16
+    rel = np.abs(np.asarray(got16, np.float32) - got32) / (np.abs(got32) + 1e-9)
+    assert rel.max() < 2 ** -8
