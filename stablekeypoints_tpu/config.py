@@ -97,6 +97,15 @@ class Config:
     # test images folded into one sharded batch in stages 3/5 (detect_batch);
     # HBM stays bounded regardless via eval_views_per_pass chunking
     eval_batch_images: int = 4
+    # dispatch amortization: group this many consecutive latent-cache-HIT
+    # training steps into ONE jitted lax.scan call. The scan body IS the
+    # per-step program, so the math and PRNG stream are identical to
+    # per-step dispatch (floating-point trajectories agree to compiler
+    # fusion differences); +6.6% steps/s measured on v5e, where each
+    # dispatch costs ~9 ms of host/RPC gap. The stage-1 loop falls back to
+    # per-step dispatch for cache misses, checkpoint boundaries, the tail,
+    # and profiling runs. 1 disables grouping
+    steps_per_call: int = 10
     # max augmented views per forward pass in the test-time ensemble: more
     # images per call chunk through the UNet sequentially (lax.map) so HBM
     # stays bounded while per-call overheads amortize

@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=d.profile_steps,
                    help="capture a jax.profiler trace of N stage-1 steps")
     p.add_argument("--eval_batch_images", type=int, default=d.eval_batch_images)
+    p.add_argument("--steps_per_call", type=int, default=d.steps_per_call,
+                   help="group N cache-hit training steps into one jitted "
+                        "lax.scan call (bit-identical math; amortizes "
+                        "per-dispatch host overhead). 1 disables")
     p.add_argument("--native_io", type=str, default=d.native_io,
                    choices=["auto", "on", "off"],
                    help="route adapter image loads through the native "

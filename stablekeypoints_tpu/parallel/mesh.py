@@ -20,6 +20,7 @@ __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated",
+    "stacked_batch_sharding",
     "shard_batch",
     "tensor_parallel_shardings",
 ]
@@ -40,6 +41,13 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """[K, B, ...] stacks of K per-step batches: the scan axis K is
+    replicated (lax.scan consumes it sequentially), the batch axis B is
+    sharded over 'data' exactly like a single step's batch."""
+    return NamedSharding(mesh, P(None, "data"))
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -93,11 +93,84 @@ def optimize_embedding(
     start = time.time()
     it_start = start
     last_logged_step = start_step - 1
-    for step in range(start_step, cfg.num_steps):
+    step = start_step
+    pending: list = []  # batches pulled for a scan group but not consumed
+
+    def next_batch():
+        return pending.pop(0) if pending else next(it)
+
+    def maybe_log(s, metrics):
+        """metrics: dict of scalars (device or stacked-slice) for step s."""
+        nonlocal it_start, last_logged_step
+        if logger is not None and (s % cfg.log_every == 0 or s == cfg.num_steps - 1):
+            now = time.time()
+            logger.log(
+                {
+                    "stage": 1,
+                    "step": s,
+                    # field names match the reference's wandb schema
+                    # (optimize.py:427-435)
+                    "loss": float(metrics["loss"]),
+                    "running_sharpening_loss": float(metrics["sharpening"]) * cfg.sharpening_loss_weight,
+                    "running_equivariance_attn_loss": float(metrics["equivariance"]) * cfg.equivariance_attn_loss_weight,
+                    "iteration time": iteration_time(now, it_start, s, last_logged_step),
+                }
+            )
+            it_start = now
+            last_logged_step = s
+
+    def maybe_checkpoint(s):
+        if cfg.checkpoint_every and s and s % cfg.checkpoint_every == 0:
+            save_artifact(cfg.save_folder, "embedding", np.asarray(context))
+            if checkpointer is not None:
+                checkpointer.save(s, context, opt_state)
+
+    # dispatch amortization (cfg.steps_per_call): K consecutive cache-hit
+    # steps as ONE jitted lax.scan call — same math and PRNG stream as
+    # per-step dispatch (the scan body IS the per-step program).
+    # Inactive while profiling (per-step traces), near checkpoint boundaries
+    # (the saved step index must match the saved context), for the tail, and
+    # whenever any of the next K batches misses the latent cache (the group
+    # is then consumed per-step via `pending`, so no batch is dropped).
+    scan_k = max(int(cfg.steps_per_call), 1)
+    stacked_sh = pmesh.stacked_batch_sharding(runtime.mesh)
+
+    while step < cfg.num_steps:
         if cfg.profile_steps and step == start_step + 1:  # skip compile step
             jax.profiler.start_trace(f"{cfg.save_folder}/profile")
             profiling = True
-        batch = next(it)
+        if (
+            scan_k > 1
+            and lat_cache is not None
+            and not cfg.profile_steps
+            and step + scan_k <= cfg.num_steps
+            and not any(
+                cfg.checkpoint_every and s and s % cfg.checkpoint_every == 0
+                # a boundary at the group's LAST step checkpoints correctly
+                # after the group; one strictly inside would not
+                for s in range(step, step + scan_k - 1)
+            )
+        ):
+            batches = [next_batch() for _ in range(scan_k)]
+            idx_groups = [[int(i) for i in b.get("_idx", ())] for b in batches]
+            if all(g and all(i in lat_cache for i in g) for g in idx_groups):
+                lat_stack = jax.device_put(
+                    np.stack([np.stack([lat_cache[i] for i in g]) for g in idx_groups]),
+                    stacked_sh,
+                )
+                img_stack = jax.device_put(
+                    np.stack([np.asarray(b["img"]) for b in batches]), stacked_sh
+                )
+                context, opt_state, key, mstack = runtime.train_step_scan(
+                    context, opt_state, lat_stack, img_stack, key
+                )
+                for j in range(scan_k):
+                    maybe_log(step + j, {k: v[j] for k, v in mstack.items()})
+                maybe_checkpoint(step + scan_k - 1)
+                step += scan_k
+                continue
+            pending.extend(batches)  # >=1 miss: consume the group per-step
+        batch = next_batch()
         images = pmesh.shard_batch(runtime.mesh, batch["img"])
         idx = [int(i) for i in batch.get("_idx", ())]
         if lat_cache is not None and idx and all(i in lat_cache for i in idx):
@@ -122,26 +195,9 @@ def optimize_embedding(
             float(metrics["loss"])  # sync before closing the trace
             jax.profiler.stop_trace()
             profiling = False
-        if logger is not None and (step % cfg.log_every == 0 or step == cfg.num_steps - 1):
-            now = time.time()
-            logger.log(
-                {
-                    "stage": 1,
-                    "step": step,
-                    # field names match the reference's wandb schema
-                    # (optimize.py:427-435)
-                    "loss": float(metrics["loss"]),
-                    "running_sharpening_loss": float(metrics["sharpening"]) * cfg.sharpening_loss_weight,
-                    "running_equivariance_attn_loss": float(metrics["equivariance"]) * cfg.equivariance_attn_loss_weight,
-                    "iteration time": iteration_time(now, it_start, step, last_logged_step),
-                }
-            )
-            it_start = now
-            last_logged_step = step
-        if cfg.checkpoint_every and step and step % cfg.checkpoint_every == 0:
-            save_artifact(cfg.save_folder, "embedding", np.asarray(context))
-            if checkpointer is not None:
-                checkpointer.save(step, context, opt_state)
+        maybe_log(step, metrics)
+        maybe_checkpoint(step)
+        step += 1
 
     if logger is not None:
         logger.log({"stage": 1, "event": "done", "seconds": time.time() - start})

@@ -520,6 +520,46 @@ class Runtime:
         return functools.partial(jitted, self.unet_params, self.vae_params)
 
     @functools.cached_property
+    def train_step_scan(self):
+        """(context, opt_state, latents [K,B,h,w,4], images [K,B,H,W,3], key)
+        -> (context, opt_state, key', metrics stacked over K).
+
+        K consecutive cache-hit steps as ONE jitted lax.scan: the scan body
+        is exactly `_train_step` (the per-step program), so the context /
+        opt-state / PRNG-chain trajectory matches K separate
+        `train_step_cached` dispatches (identical math and RNG stream;
+        floating-point agreement up to compiler fusion differences) — the
+        only thing amortized is the per-dispatch host/RPC overhead
+        (~9 ms/step measured on a tunneled v5e; +6.6% steps/s at K=10).
+        Metrics leaves come back with a leading K axis so the training
+        loop can still log any interior step exactly."""
+        repl = pmesh.replicated(self.mesh)
+        stacked = pmesh.stacked_batch_sharding(self.mesh)
+
+        def step(unet_params, vae_params, context, opt_state, latents, images, key):
+            def body(carry, xs):
+                ctx, ost, ky = carry
+                lat, img = xs
+                ctx, ost, ky, aux = self._train_step(
+                    unet_params, vae_params, self.optimizer,
+                    ctx, ost, img, ky, latents_orig=lat,
+                )
+                return (ctx, ost, ky), aux
+
+            (context, opt_state, key), metrics = jax.lax.scan(
+                body, (context, opt_state, key), (latents, images)
+            )
+            return context, opt_state, key, metrics
+
+        jitted = jax.jit(
+            step,
+            in_shardings=(None, None, repl, repl, stacked, stacked, repl),
+            out_shardings=(repl, repl, repl, repl),
+            donate_argnums=(2, 3, 6),
+        )
+        return functools.partial(jitted, self.unet_params, self.vae_params)
+
+    @functools.cached_property
     def encode_images_fn(self):
         """(images [B, H, W, 3]) -> posterior-mean latents [B, h, w, 4]."""
         data = pmesh.batch_sharding(self.mesh)
