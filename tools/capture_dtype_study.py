@@ -21,7 +21,7 @@ are a noisy bound, not a parity proof; per-checkpoint validation belongs
 in tools/validate_real_weights.py once real weights land.
 
 Usage: JAX_PLATFORMS=cpu python tools/capture_dtype_study.py [--seeds 3]
-Results are committed to STATUS.md.
+Record the printed table in STATUS.md next to the latent_warp study.
 """
 
 from __future__ import annotations
@@ -99,6 +99,10 @@ def run_seed(seed: int):
         make_cfg("bf16", f"{base}/mixed"), tiny_unet_config(), tiny_vae_config(),
         mesh=pmesh.make_mesh(),
     )
+    # IMPORTANT: this param swap must happen BEFORE any of rt_m's
+    # cached_property jitted functions (augmented_keypoints_fn, attn_maps_fn,
+    # ...) are first accessed — those close over the params at first access,
+    # so a reorder would silently bind the pre-swap random init.
     object.__setattr__(rt_m, "unet_params", rt_f.unet_params)
     object.__setattr__(rt_m, "vae_params", rt_f.vae_params)
     os.makedirs(f"{base}/mixed", exist_ok=True)
@@ -161,15 +165,15 @@ def run_seed(seed: int):
     kp_b = np.asarray(
         rt_m.augmented_keypoints_fn(ctx_f, timgs, np.asarray(idx_f, np.int32), kkey)
     )
-    disp = np.linalg.norm(kp_b - kp_f, axis=-1)
+    disp = np.linalg.norm(kp_b - kp_f, axis=-1) * rt_f.cfg.image_size
     return {
         "metric_fp32": metric_fp32,
         "metric_bf16_full": metric_bf16,
         "metric_bf16_eval_only": float(metric_mixed),
         "grad_cosine": cos,
         "grad_rel_l2": rel,
-        "kp_disp_px": float(disp.mean() * 64),
-        "kp_disp_px_max": float(disp.max() * 64),
+        "kp_disp_px": float(disp.mean()),
+        "kp_disp_px_max": float(disp.max()),
     }
 
 

@@ -1,18 +1,26 @@
 #!/bin/bash
 # One-shot on-chip measurement matrix (run when the TPU tunnel is up).
-# Results append to /tmp/measure_all.log as one JSON line per bench.
+# Results append as one JSON line per bench; default log lives in-repo so
+# the matrix survives the container (VERDICT r3 missing #2) — commit it as
+# BENCH_MATRIX.md via tools/render_bench_matrix.py.
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
-LOG=${1:-/tmp/measure_all.log}
+LOG=${1:-/root/repo/bench_matrix.jsonl}
 run() {
   echo "### $*" >> "$LOG"
-  timeout 1800 env "$@" python bench.py 2>/dev/null | tail -1 >> "$LOG"
+  timeout 2400 env "$@" python bench.py 2>/dev/null | tail -1 >> "$LOG"
 }
-run BENCH_STEPS=20                       # sd15 train, hit+fill
-run BENCH_MODEL=sdxl BENCH_STEPS=10      # sdxl train
-run BENCH_LATENT_WARP=1 BENCH_STEPS=20   # approximation ablation
-run BENCH_MODE=detect BENCH_STEPS=5      # eval path, exact
+echo "start $(date -u +%FT%TZ) device=$(python - <<'EOF' 2>/dev/null
+import jax; print(jax.devices()[0].device_kind)
+EOF
+)" >> "$LOG"
+run BENCH_STEPS=20                                   # sd15 train, hit+fill
+run BENCH_MODEL=sd21 BENCH_STEPS=10                  # sd21 train (768^2, 48^2 flash fallback)
+run BENCH_MODEL=sdxl BENCH_STEPS=10                  # sdxl train (1024^2)
+run BENCH_CAPTURE_DTYPE=bf16 BENCH_STEPS=20          # bf16 capture-map ablation
+run BENCH_LATENT_WARP=1 BENCH_STEPS=20               # approximation ablation
+run BENCH_MODE=detect BENCH_STEPS=5                  # eval path, exact
 run BENCH_MODE=detect BENCH_LATENT_WARP=1 BENCH_STEPS=5
 echo "done $(date -u +%FT%TZ)" >> "$LOG"
 cat "$LOG"
