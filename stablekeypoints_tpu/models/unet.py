@@ -49,7 +49,7 @@ def _blocks(cfg):
 
 __all__ = [
     "UNetConfig", "UNet", "SD15_CONFIG", "SD21_CONFIG", "SDXL_CONFIG",
-    "tiny_unet_config", "sdxl_tiny_config",
+    "tiny_unet_config", "sdxl_tiny_config", "sd21_tiny_config",
 ]
 
 
@@ -153,6 +153,19 @@ def sdxl_tiny_config() -> UNetConfig:
         addition_emb_dim=32,
         addition_time_dim=8,
         remat=False,
+    )
+
+
+def sd21_tiny_config() -> UNetConfig:
+    """Scaled-down SD-2.x topology for tests: 4 blocks, fixed head dim,
+    linear transformer projections (SD21_CONFIG's distinguishing traits)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        tiny_unet_config(context_dim=48),
+        num_heads=0,
+        head_dim_fixed=16,
+        linear_projection=True,
     )
 
 

@@ -15,20 +15,10 @@ import numpy as np
 import pytest
 
 from stablekeypoints_tpu.models import weights
-from stablekeypoints_tpu.models.unet import SD21_CONFIG, UNet, tiny_unet_config
+from stablekeypoints_tpu.models.unet import SD21_CONFIG, UNet, sd21_tiny_config
 
 
 pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
-
-
-def sd21_tiny_config():
-    """Scaled-down SD-2.1 topology: 4 blocks, fixed head dim, linear proj."""
-    return dataclasses.replace(
-        tiny_unet_config(context_dim=48),
-        num_heads=0,
-        head_dim_fixed=16,
-        linear_projection=True,
-    )
 
 
 def test_sd21_config_head_dims():

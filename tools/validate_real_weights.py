@@ -37,7 +37,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def phase_conversion_parity(model_path: str, image_size: int) -> bool | None:
+def phase_conversion_parity(
+    model_path: str, image_size: int, model_type: str = "sd15"
+) -> bool | None:
     try:
         import torch
         from diffusers import AutoencoderKL, UNet2DConditionModel  # type: ignore
@@ -46,13 +48,34 @@ def phase_conversion_parity(model_path: str, image_size: int) -> bool | None:
         return None  # skipped, not failed
     import jax.numpy as jnp
 
-    from stablekeypoints_tpu.models.unet import SD15_CONFIG, UNet
-    from stablekeypoints_tpu.models.vae import SD_VAE_CONFIG, VAE
+    from stablekeypoints_tpu.models.unet import UNet
+    from stablekeypoints_tpu.models.vae import SD_VAE_CONFIG, SDXL_VAE_CONFIG, VAE
     from stablekeypoints_tpu.models import weights as W
+    from stablekeypoints_tpu.pipeline.runtime import unet_config_for_model_type
+
+    ucfg = unet_config_for_model_type(model_type)
+    vcfg = SDXL_VAE_CONFIG if "xl" in model_type.lower() else SD_VAE_CONFIG
 
     rng = np.random.default_rng(0)
     lat = rng.standard_normal((1, image_size // 8, image_size // 8, 4)).astype(np.float32)
-    ctx = rng.standard_normal((1, 77, 768)).astype(np.float32)
+    ctx = rng.standard_normal((1, 77, ucfg.context_dim)).astype(np.float32)
+    added_kwargs = {}
+    added_cond = None
+    if ucfg.addition_emb_dim > 0:  # SDXL micro-conditioning
+        text_embeds = np.zeros((1, ucfg.addition_emb_dim), np.float32)
+        time_ids = np.asarray(
+            [[image_size, image_size, 0, 0, image_size, image_size]], np.float32
+        )
+        added_kwargs = {
+            "added_cond_kwargs": {
+                "text_embeds": torch.from_numpy(text_embeds),
+                "time_ids": torch.from_numpy(time_ids),
+            }
+        }
+        added_cond = {
+            "text_embeds": jnp.asarray(text_embeds),
+            "time_ids": jnp.asarray(time_ids),
+        }
 
     tunet = UNet2DConditionModel.from_pretrained(model_path, subfolder="unet").eval()
     with torch.no_grad():
@@ -60,12 +83,14 @@ def phase_conversion_parity(model_path: str, image_size: int) -> bool | None:
             torch.from_numpy(lat.transpose(0, 3, 1, 2)),
             torch.tensor([1]),
             torch.from_numpy(ctx),
+            **added_kwargs,
         ).sample.numpy().transpose(0, 2, 3, 1)
 
-    params = W.load_unet_params(model_path, SD15_CONFIG, jnp.float32)
-    unet = UNet(SD15_CONFIG, dtype=jnp.float32)
+    params = W.load_unet_params(model_path, ucfg, jnp.float32)
+    unet = UNet(ucfg, dtype=jnp.float32)
     eps, _ = unet.apply(
-        {"params": params}, jnp.asarray(lat), jnp.array([1]), jnp.asarray(ctx)
+        {"params": params}, jnp.asarray(lat), jnp.array([1]), jnp.asarray(ctx),
+        added_cond=added_cond,
     )
     err = float(np.max(np.abs(np.asarray(eps) - t_out)))
     print(f"[1/3] UNet eps max|Δ| vs diffusers: {err:.2e} (want < 5e-2 bf16 / 5e-4 fp32)")
@@ -75,10 +100,10 @@ def phase_conversion_parity(model_path: str, image_size: int) -> bool | None:
     with torch.no_grad():
         t_lat = (
             tvae.encode(torch.from_numpy(img.transpose(0, 3, 1, 2))).latent_dist.mean
-            * 0.18215
+            * vcfg.scaling_factor
         ).numpy().transpose(0, 2, 3, 1)
-    vae_params = W.load_vae_params(model_path, SD_VAE_CONFIG, jnp.float32)
-    vae = VAE(SD_VAE_CONFIG, dtype=jnp.float32)
+    vae_params = W.load_vae_params(model_path, vcfg, jnp.float32)
+    vae = VAE(vcfg, dtype=jnp.float32)
     j_lat = vae.apply({"params": vae_params}, jnp.asarray(img), method=VAE.encode_mean)
     verr = float(np.max(np.abs(np.asarray(j_lat) - t_lat)))
     print(f"[1/3] VAE latent-mean max|Δ|: {verr:.2e}")
@@ -209,51 +234,67 @@ def phase_celeba(
     return md is not None and 100 * md <= paper * 1.02
 
 
-def selftest() -> dict:
-    """Run every phase of this harness end-to-end against a FABRICATED
-    tiny-topology diffusers-layout checkpoint written to disk — proving the
-    single command works (disk load path, conversion, capture, latent_warp
-    advisory, full 5-stage CelebA-layout run) before a real checkpoint
-    lands. Random weights: the capture-sanity entropy band and CelebA
-    *completion* are asserted; metric parity obviously is not."""
+def selftest(models: tuple[str, ...] = ("sd15", "sd21", "sdxl")) -> dict:
+    """Run every phase of this harness end-to-end against FABRICATED
+    tiny-topology diffusers-layout checkpoints written to disk — one per
+    supported backbone family (SD-1.5, SD-2.x, SDXL) — proving the single
+    command works (disk load path, conversion, capture, latent_warp
+    advisory, full 5-stage CelebA-layout run) for whichever checkpoint
+    type eventually lands. Random weights: the capture-sanity entropy band
+    and CelebA *completion* are asserted; metric parity obviously is not."""
     import tempfile
 
     from stablekeypoints_tpu.models import weights as W
-    from stablekeypoints_tpu.models.unet import tiny_unet_config
+    from stablekeypoints_tpu.models.unet import (
+        sd21_tiny_config,
+        sdxl_tiny_config,
+        tiny_unet_config,
+    )
     from stablekeypoints_tpu.models.vae import tiny_vae_config
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples"))
     from make_synthetic_celeba import make_synthetic_celeba
 
+    # tiny analog of each supported backbone family; model_type strings are
+    # the real dispatch keys (unet_config_for_model_type) so cfg-side
+    # behavior (SDXL micro-cond + 0.13025 VAE scaling, SD-2.x v/eps) engages
+    topologies = {
+        "sd15": (tiny_unet_config(context_dim=768), "sd-legacy/stable-diffusion-v1-5"),
+        "sd21": (sd21_tiny_config(), "stabilityai/stable-diffusion-2-1-base"),
+        "sdxl": (sdxl_tiny_config(), "stabilityai/stable-diffusion-xl-base-1.0"),
+    }
     tmp = tempfile.mkdtemp(prefix="skt_selftest_")
+    results: dict[str, bool | None] = {}
     try:
-        ckpt = os.path.join(tmp, "ckpt")
-        ucfg, vcfg = tiny_unet_config(context_dim=768), tiny_vae_config()
-        W.fabricate_checkpoint(ckpt, ucfg, vcfg, seed=0)
-        print(f"[selftest] fabricated tiny diffusers-layout checkpoint at {ckpt}")
-
-        overrides = dict(
-            feature_upsample_res=16, num_tokens=16, furthest_point_num_samples=8,
-            top_k=4, dtype="float32",
-        )
-        results: dict[str, bool | None] = {}
-        results["capture_sanity"] = phase_capture_sanity(
-            ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
-        )
-        results["latent_warp"] = phase_latent_warp(
-            ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
-        )
         data = os.path.join(tmp, "celeba")
         make_synthetic_celeba(data, n=16, image_size=64)
-        results["celeba_pipeline"] = phase_celeba(
-            ckpt, data, steps=8, wild=False, model_cfgs=(ucfg, vcfg),
-            cfg_overrides=dict(
-                overrides, image_size=64, batch_size=4, num_indices=4,
-                augmentation_iterations=4, max_num_points=8,
-                save_folder=os.path.join(tmp, "out"),
-            ),
-            completion_only=True,
-        )
+        for i, name in enumerate(models):
+            ucfg, model_type = topologies[name]
+            vcfg = tiny_vae_config()
+            ckpt = os.path.join(tmp, f"ckpt_{name}")
+            W.fabricate_checkpoint(ckpt, ucfg, vcfg, seed=i)
+            print(f"[selftest] fabricated tiny {name} diffusers-layout checkpoint at {ckpt}")
+
+            overrides = dict(
+                feature_upsample_res=16, num_tokens=16,
+                furthest_point_num_samples=8, top_k=4, dtype="float32",
+                model_type=model_type,
+            )
+            results[f"{name}_capture_sanity"] = phase_capture_sanity(
+                ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+            )
+            results[f"{name}_latent_warp"] = phase_latent_warp(
+                ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+            )
+            results[f"{name}_celeba_pipeline"] = phase_celeba(
+                ckpt, data, steps=8, wild=False, model_cfgs=(ucfg, vcfg),
+                cfg_overrides=dict(
+                    overrides, image_size=64, batch_size=4, num_indices=4,
+                    augmentation_iterations=4, max_num_points=8,
+                    save_folder=os.path.join(tmp, f"out_{name}"),
+                ),
+                completion_only=True,
+            )
     except BaseException:
         print(f"[selftest] FAILED — working dir kept for debugging: {tmp}")
         raise
@@ -274,6 +315,12 @@ def selftest() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model_path", default=None)
+    ap.add_argument(
+        "--model_type", default="sd-legacy/stable-diffusion-v1-5",
+        help="backbone family of the checkpoint (HF-repo-style name or "
+        "'sd15'/'sd21'/'sdxl'); dispatches topology + VAE scaling via "
+        "unet_config_for_model_type",
+    )
     ap.add_argument("--dataset_loc", default=None)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--image_size", type=int, default=512)
@@ -281,7 +328,8 @@ def main():
     ap.add_argument("--skip_diffusers", action="store_true")
     ap.add_argument(
         "--selftest", action="store_true",
-        help="fabricate a tiny checkpoint on disk and run all phases against it",
+        help="fabricate tiny sd15/sd21/sdxl checkpoints on disk and run "
+        "all phases against each",
     )
     args = ap.parse_args()
 
@@ -295,16 +343,22 @@ def main():
 
     # collect per-phase pass/fail so automation can't mistake a failed
     # north-star validation for success (the script exits 1 on any failure)
+    type_overrides = dict(model_type=args.model_type)
     results: dict[str, bool | None] = {}
     if not args.skip_diffusers:
         results["conversion_parity"] = phase_conversion_parity(
-            args.model_path, args.image_size
+            args.model_path, args.image_size, args.model_type
         )
-    results["capture_sanity"] = phase_capture_sanity(args.model_path, args.image_size)
-    results["latent_warp"] = phase_latent_warp(args.model_path, args.image_size)
+    results["capture_sanity"] = phase_capture_sanity(
+        args.model_path, args.image_size, cfg_overrides=type_overrides
+    )
+    results["latent_warp"] = phase_latent_warp(
+        args.model_path, args.image_size, cfg_overrides=type_overrides
+    )
     if args.dataset_loc:
         results["celeba"] = phase_celeba(
-            args.model_path, args.dataset_loc, args.steps, args.wild
+            args.model_path, args.dataset_loc, args.steps, args.wild,
+            cfg_overrides=type_overrides,
         )
     else:
         print("[3/3] no --dataset_loc; skipping CelebA metric run")
