@@ -17,18 +17,26 @@ into a self-contained StableHLO artifact:
     (forward compatibility window), manifest.json records shapes/semantics.
 
 Artifact layout (a directory):
-    detector.stablehlo   serialized jax.export blob
-    manifest.json        shapes, outputs, platforms, versions
+    detector_b{N}.stablehlo   one serialized jax.export blob per exported
+                              batch shape (XLA programs are static-shape;
+                              N blobs share the baked weights' source but
+                              each is an independent program)
+    manifest.json             shapes, outputs, platforms, versions
 
-Exported signature:
+Exported signature (per batch shape):
     f(images: f32[batch, S, S, 3] in [0, 1], seed: u32[]) ->
         {"keypoints": f32[batch, k, 2]}            normalized (y, x)
       + {"regressed": f32[batch, K, 2]}            when a stage-4 regressor
                                                     is baked in (eval.py:453)
 
+Shape contract: inputs must exactly match one exported batch shape —
+`ServedDetector.detect` dispatches on images.shape[0] and raises (listing
+the available shapes) otherwise. Export the batch sizes you will serve
+(e.g. --batch 1,4,8); there is no implicit padding.
+
 CLI:
     python -m stablekeypoints_tpu.serving --save_folder outputs \
-        --out outputs/serving --batch 4 [--platforms cpu,tpu] [--check]
+        --out outputs/serving --batch 1,4 [--platforms cpu,tpu] [--check]
 """
 
 from __future__ import annotations
@@ -47,9 +55,12 @@ from stablekeypoints_tpu.pipeline.runtime import Runtime
 
 __all__ = ["export_detector", "ServedDetector"]
 
-_BLOB = "detector.stablehlo"
 _MANIFEST = "manifest.json"
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: multi-batch-shape artifacts (detector_b{N}.stablehlo)
+
+
+def _blob_name(batch: int) -> str:
+    return f"detector_b{batch}.stablehlo"
 
 
 def _single_device_runtime(rt: Runtime) -> Runtime:
@@ -81,7 +92,7 @@ def export_detector(
     context: np.ndarray,
     indices: np.ndarray,
     out_dir: str,
-    batch: int = 1,
+    batch: "int | Sequence[int]" = 1,
     regressor: Optional[np.ndarray] = None,
     platforms: Optional[Sequence[str]] = None,
 ) -> dict:
@@ -90,8 +101,13 @@ def export_detector(
     context: [1, T, d] learned embedding (stage 1); indices: [k] selected
     token indices (stage 2); regressor: optional [2k, 2K] stage-4 linear
     map — when given, the artifact also emits regressed keypoints
-    (((x - 0.5) @ W) + 0.5, reference eval.py:453).
+    (((x - 0.5) @ W) + 0.5, reference eval.py:453). `batch` may be an int
+    or a sequence of batch sizes: one blob is exported per size and
+    ServedDetector dispatches on the input's leading dim.
     """
+    batches = sorted({int(b) for b in ((batch,) if isinstance(batch, int) else batch)})
+    if not batches or any(b < 1 for b in batches):
+        raise ValueError(f"batch sizes must be positive ints, got {batch!r}")
     ert = _single_device_runtime(runtime)
     size = ert.cfg.image_size
     ctx = jnp.asarray(np.asarray(context), jnp.float32)
@@ -109,24 +125,29 @@ def export_detector(
         )
         out = {"keypoints": pts}
         if reg is not None:
-            flat = pts.reshape(batch, -1) - 0.5
-            out["regressed"] = (flat @ reg + 0.5).reshape(batch, -1, 2)
+            flat = pts.reshape(pts.shape[0], -1) - 0.5
+            out["regressed"] = (flat @ reg + 0.5).reshape(pts.shape[0], -1, 2)
         return out
 
-    args = (
-        jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32),
-        jax.ShapeDtypeStruct((), jnp.uint32),
-    )
     kwargs = {} if platforms is None else {"platforms": list(platforms)}
-    exported = jax.export.export(jax.jit(fn), **kwargs)(*args)
-    blob = exported.serialize()
-
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, _BLOB), "wb") as f:
-        f.write(blob)
+    blob_info = {}
+    exported = None
+    for b in batches:
+        args = (
+            jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32),
+            jax.ShapeDtypeStruct((), jnp.uint32),
+        )
+        exported = jax.export.export(jax.jit(fn), **kwargs)(*args)
+        blob = exported.serialize()
+        with open(os.path.join(out_dir, _blob_name(b)), "wb") as f:
+            f.write(blob)
+        blob_info[str(b)] = {"file": _blob_name(b), "bytes": len(blob)}
+
     manifest = {
         "format_version": _FORMAT_VERSION,
-        "batch": int(batch),
+        "batches": batches,
+        "blobs": blob_info,
         "image_size": int(size),
         "top_k": int(idx.shape[0]),
         "num_regressed": None if reg is None else int(reg.shape[1] // 2),
@@ -134,7 +155,6 @@ def export_detector(
         "platforms": list(exported.platforms),
         "jax_version": jax.__version__,
         "calling_convention_version": exported.calling_convention_version,
-        "blob_bytes": len(blob),
         "model_type": ert.cfg.model_type,
         "augmentation_iterations": int(ert.cfg.augmentation_iterations),
         "max_loc_strategy": ert.cfg.max_loc_strategy,
@@ -148,29 +168,43 @@ class ServedDetector:
     """Load + run an exported detector. Needs only jax (no framework code,
     no checkpoint: weights live in the artifact)."""
 
-    def __init__(self, exported, manifest: dict):
-        self.exported = exported
+    def __init__(self, exported_by_batch: dict, manifest: dict):
+        self.exported_by_batch = exported_by_batch  # {batch: jax.export.Exported}
         self.manifest = manifest
 
     @staticmethod
     def load(out_dir: str) -> "ServedDetector":
-        with open(os.path.join(out_dir, _BLOB), "rb") as f:
-            exported = jax.export.deserialize(bytearray(f.read()))
         with open(os.path.join(out_dir, _MANIFEST)) as f:
             manifest = json.load(f)
-        return ServedDetector(exported, manifest)
+        if "batches" in manifest:  # v2 multi-shape
+            names = {int(b): info["file"] for b, info in manifest["blobs"].items()}
+        else:  # v1 single-shape artifact (detector.stablehlo)
+            names = {int(manifest["batch"]): "detector.stablehlo"}
+        exported_by_batch = {}
+        for b, name in names.items():
+            with open(os.path.join(out_dir, name), "rb") as f:
+                exported_by_batch[b] = jax.export.deserialize(bytearray(f.read()))
+        return ServedDetector(exported_by_batch, manifest)
 
     def detect(self, images: np.ndarray, seed: int = 0) -> dict:
         """images: [batch, S, S, 3] float in [0, 1] -> dict of np arrays
-        ("keypoints" [batch, k, 2]; "regressed" [batch, K, 2] if baked)."""
+        ("keypoints" [batch, k, 2]; "regressed" [batch, K, 2] if baked).
+        batch must exactly match one exported batch size (no padding)."""
         m = self.manifest
-        want = (m["batch"], m["image_size"], m["image_size"], 3)
         images = np.asarray(images, np.float32)
-        if images.shape != want:
+        size = m["image_size"]
+        avail = sorted(self.exported_by_batch)
+        if (
+            images.ndim != 4
+            or images.shape[1:] != (size, size, 3)
+            or images.shape[0] not in self.exported_by_batch
+        ):
             raise ValueError(
-                f"exported for images of shape {want}, got {images.shape}"
+                f"exported for images of shape [b, {size}, {size}, 3] with "
+                f"b in {avail}, got {images.shape}"
             )
-        out = self.exported.call(jnp.asarray(images), jnp.uint32(seed))
+        exported = self.exported_by_batch[images.shape[0]]
+        out = exported.call(jnp.asarray(images), jnp.uint32(seed))
         return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -183,7 +217,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     p.add_argument("--save_folder", required=True,
                    help="stage artifacts (embedding/indices[/regressor])")
     p.add_argument("--out", required=True, help="output artifact directory")
-    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--batch", default="1",
+                   help="batch size(s) to export, comma-separated (e.g. 1,4,8); "
+                        "one blob per size, dispatched at serve time")
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms (e.g. cpu,tpu); "
                         "empty = current backend")
@@ -209,8 +245,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     indices = load_artifact(a.save_folder, "indices").astype(np.int32)
     regressor = load_artifact(a.save_folder, "regressor") if a.with_regressor else None
     platforms = [s for s in a.platforms.split(",") if s] or None
+    batches = [int(s) for s in str(a.batch).split(",") if s]
     manifest = export_detector(
-        rt, context, indices, a.out, batch=a.batch, regressor=regressor,
+        rt, context, indices, a.out, batch=batches, regressor=regressor,
         platforms=platforms,
     )
     print(json.dumps(manifest))
@@ -218,18 +255,21 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if a.check:
         det = ServedDetector.load(a.out)
         rng = np.random.default_rng(0)
-        imgs = rng.uniform(0, 1, (a.batch, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
-        served = det.detect(imgs, seed=3)["keypoints"]
-        live = np.asarray(
-            rt.augmented_keypoints_fn(
-                jnp.asarray(context, jnp.float32), imgs,
-                jnp.asarray(indices, jnp.int32), jax.random.PRNGKey(np.uint32(3)),
+        for b in batches:
+            imgs = rng.uniform(
+                0, 1, (b, cfg.image_size, cfg.image_size, 3)
+            ).astype(np.float32)
+            served = det.detect(imgs, seed=3)["keypoints"]
+            live = np.asarray(
+                rt.augmented_keypoints_fn(
+                    jnp.asarray(context, jnp.float32), imgs,
+                    jnp.asarray(indices, jnp.int32), jax.random.PRNGKey(np.uint32(3)),
+                )
             )
-        )
-        diff = float(np.abs(served - live).max())
-        print(json.dumps({"check_max_abs_diff": diff}))
-        if not diff < 1e-4:
-            return 1
+            diff = float(np.abs(served - live).max())
+            print(json.dumps({"batch": b, "check_max_abs_diff": diff}))
+            if not diff < 1e-4:
+                return 1
     return 0
 
 

@@ -52,13 +52,13 @@ def test_export_roundtrip_matches_live(tmp_path, rt, learned):
     out = str(tmp_path / "serving")
     manifest = export_detector(rt, context, indices, out, batch=BATCH)
 
-    assert os.path.exists(os.path.join(out, "detector.stablehlo"))
+    assert os.path.exists(os.path.join(out, f"detector_b{BATCH}.stablehlo"))
     with open(os.path.join(out, "manifest.json")) as f:
         assert json.load(f) == manifest
-    assert manifest["batch"] == BATCH
+    assert manifest["batches"] == [BATCH]
     assert manifest["top_k"] == TOP_K
     assert manifest["outputs"] == ["keypoints"]
-    assert manifest["blob_bytes"] > 0
+    assert manifest["blobs"][str(BATCH)]["bytes"] > 0
 
     det = ServedDetector.load(out)
     rng = np.random.default_rng(7)
@@ -117,6 +117,89 @@ def test_batch_shape_validated(tmp_path, rt, learned):
     det = ServedDetector.load(out)
     with pytest.raises(ValueError, match="exported for images of shape"):
         det.detect(np.zeros((2, SIZE, SIZE, 3), np.float32))
+
+
+def test_multi_batch_export_dispatches_on_leading_dim(tmp_path, rt, learned):
+    """One artifact directory serving several batch shapes (VERDICT r3 #8):
+    one blob per exported size, dispatch on images.shape[0], clean error
+    (listing the available sizes) for an unexported shape."""
+    context, indices = learned
+    out = str(tmp_path / "serving_multi")
+    manifest = export_detector(rt, context, indices, out, batch=(2, 1))
+    assert manifest["batches"] == [1, 2]  # sorted, deduped
+    for b in (1, 2):
+        assert os.path.exists(os.path.join(out, f"detector_b{b}.stablehlo"))
+
+    det = ServedDetector.load(out)
+    rng = np.random.default_rng(11)
+    for b in (1, 2):
+        imgs = rng.uniform(0, 1, (b, SIZE, SIZE, 3)).astype(np.float32)
+        got = det.detect(imgs, seed=5)
+        assert got["keypoints"].shape == (b, TOP_K, 2)
+        live = np.asarray(
+            rt.augmented_keypoints_fn(
+                jnp.asarray(context), imgs, jnp.asarray(indices),
+                jax.random.PRNGKey(np.uint32(5)),
+            )
+        )
+        np.testing.assert_allclose(got["keypoints"], live, atol=1e-5)
+    with pytest.raises(ValueError, match=r"b in \[1, 2\]"):
+        det.detect(np.zeros((3, SIZE, SIZE, 3), np.float32))
+
+
+def test_v1_single_shape_artifact_still_loads(tmp_path, rt, learned):
+    """Format-v1 artifacts (one detector.stablehlo + manifest['batch'])
+    keep loading through ServedDetector (forward compat for artifacts
+    exported by earlier versions)."""
+    context, indices = learned
+    out = str(tmp_path / "serving_v1")
+    manifest = export_detector(rt, context, indices, out, batch=1)
+    # rewrite the directory into the v1 layout
+    os.rename(
+        os.path.join(out, "detector_b1.stablehlo"),
+        os.path.join(out, "detector.stablehlo"),
+    )
+    v1 = {k: v for k, v in manifest.items() if k not in ("batches", "blobs")}
+    v1["format_version"] = 1
+    v1["batch"] = 1
+    with open(os.path.join(out, "manifest.json"), "w") as f:
+        json.dump(v1, f)
+
+    det = ServedDetector.load(out)
+    imgs = np.zeros((1, SIZE, SIZE, 3), np.float32)
+    assert det.detect(imgs)["keypoints"].shape == (1, TOP_K, 2)
+
+
+def test_sdxl_topology_export(tmp_path):
+    """The serving path must not be SD-1.5-only by accident: export an
+    SDXL-topology (micro-conditioned) detector and roundtrip it against
+    the live runtime."""
+    from stablekeypoints_tpu.models.unet import sdxl_tiny_config
+
+    cfg = Config(
+        dataset_name="synthetic", model_type="sdxl", image_size=SIZE,
+        num_tokens=16, feature_upsample_res=16, top_k=TOP_K,
+        augmentation_iterations=4, dtype="float32",
+    )
+    xrt = Runtime.create(cfg, sdxl_tiny_config(), tiny_vae_config(), mesh=pmesh.make_mesh())
+    rng = np.random.default_rng(13)
+    context = (0.1 * rng.standard_normal((1, 16, xrt.unet.config.context_dim))).astype(np.float32)
+    indices = np.asarray([0, 3, 7, 11], np.int32)
+
+    out = str(tmp_path / "serving_sdxl")
+    manifest = export_detector(xrt, context, indices, out, batch=1)
+    assert manifest["model_type"] == "sdxl"
+
+    det = ServedDetector.load(out)
+    imgs = rng.uniform(0, 1, (1, SIZE, SIZE, 3)).astype(np.float32)
+    served = det.detect(imgs, seed=4)["keypoints"]
+    live = np.asarray(
+        xrt.augmented_keypoints_fn(
+            jnp.asarray(context), imgs, jnp.asarray(indices),
+            jax.random.PRNGKey(np.uint32(4)),
+        )
+    )
+    np.testing.assert_allclose(served, live, atol=1e-5)
 
 
 def test_multiplatform_export(tmp_path, rt, learned):
