@@ -111,8 +111,15 @@ def phase_conversion_parity(
 
 
 def phase_capture_sanity(
-    model_path: str, image_size: int, model_cfgs=(), cfg_overrides=None
+    model_path: str, image_size: int, model_cfgs=(), cfg_overrides=None,
+    band: tuple[float, float] = (0.05, 0.98),
 ) -> bool:
+    """`band` bounds the acceptable mean map entropy as fractions of the
+    uniform entropy. The strict 0.98 upper bound catches a degenerate
+    (near-uniform) capture with REAL weights = broken conversion; the
+    fabricated-random-weights selftest relaxes it (random projections are
+    legitimately near-uniform — measured 0.987x uniform on the tiny sd21/
+    sdxl topologies) and keeps only the strictly-below-uniform check."""
     import jax
 
     from stablekeypoints_tpu.config import Config
@@ -133,7 +140,7 @@ def phase_capture_sanity(
     p = p / p.sum(-1, keepdims=True)
     ent = -(p * np.log(p + 1e-12)).sum(-1).mean()
     uniform = np.log(p.shape[-1])
-    ok = bool(0.05 * uniform < ent < 0.98 * uniform)
+    ok = bool(band[0] * uniform < ent < band[1] * uniform)
     print(
         f"[2/3] capture maps: mean entropy {ent:.2f} vs uniform {uniform:.2f} "
         f"({'non-degenerate OK' if ok else 'DEGENERATE — check weights'})"
@@ -281,7 +288,8 @@ def selftest(models: tuple[str, ...] = ("sd15", "sd21", "sdxl")) -> dict:
                 model_type=model_type,
             )
             results[f"{name}_capture_sanity"] = phase_capture_sanity(
-                ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+                ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides,
+                band=(0.05, 0.9999),  # random weights: see phase docstring
             )
             results[f"{name}_latent_warp"] = phase_latent_warp(
                 ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
