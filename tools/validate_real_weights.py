@@ -199,6 +199,80 @@ def phase_latent_warp(
     return True if ok else None  # None = advisory, never fails the run
 
 
+def phase_capture_dtype(
+    model_path: str, image_size: int, model_cfgs=(), cfg_overrides=None
+) -> bool | None:
+    """Closeness of bf16 capture maps (cfg.capture_dtype='bf16') on the
+    REAL weights: one-step d(loss)/d(context) through capture + selection +
+    both losses, fp32-capture vs bf16-capture on identical inputs (noise,
+    thetas). The tiny-scale study (STATUS.md) shows random-init maps are
+    too flat to transfer; this prints the per-checkpoint gradient cosine /
+    rel-L2 so the flag can be validated before enabling. ADVISORY (never
+    fails the run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.ops.transforms import (
+        AffineParams,
+        apply_affine,
+        sample_thetas,
+    )
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    def make_rt(capture_dtype):
+        cfg = Config(
+            dataset_name="synthetic", model_path=model_path,
+            image_size=image_size, capture_dtype=capture_dtype,
+            **(cfg_overrides or {}),
+        )
+        return Runtime.create(cfg, *model_cfgs)
+
+    rt_f, rt_b = make_rt("fp32"), make_rt("bf16")
+    cfg = rt_f.cfg
+    rng = np.random.default_rng(3)
+    b = 2
+    images = jnp.asarray(
+        rng.uniform(0, 1, (b, image_size, image_size, 3)), jnp.float32
+    )
+    ctx = rt_f.init_context()
+    aff = AffineParams(
+        cfg.augment_degrees, tuple(cfg.augment_scale), tuple(cfg.augment_translate)
+    )
+    k_noise, k_theta = jax.random.split(jax.random.PRNGKey(4))
+    thetas = sample_thetas(k_theta, b, aff)
+    both = jnp.concatenate([images, apply_affine(images, thetas, params=aff)], axis=0)
+
+    def grad_of(rt):
+        def loss_fn(c):
+            maps_all = rt._attn_maps(
+                rt.unet_params, rt.vae_params, both, c, k_noise, -1, None,
+                cfg.truncate_unet,
+            )
+            maps, maps_t = maps_all[:b], maps_all[b:]
+            sls, els = jax.vmap(rt._per_sample_losses)(maps, maps_t, thetas)
+            return (
+                jnp.mean(sls) * cfg.sharpening_loss_weight
+                + jnp.mean(els) * cfg.equivariance_attn_loss_weight
+            )
+
+        return np.asarray(jax.grad(loss_fn)(jnp.asarray(ctx)), np.float64)
+
+    g_f, g_b = grad_of(rt_f), grad_of(rt_b)
+    cos = float(
+        (g_f * g_b).sum() / (np.linalg.norm(g_f) * np.linalg.norm(g_b) + 1e-30)
+    )
+    rel = float(np.linalg.norm(g_b - g_f) / (np.linalg.norm(g_f) + 1e-30))
+    ok = cos > 0.99
+    print(
+        json.dumps(
+            {"phase": "capture_dtype", "grad_cosine": round(cos, 4),
+             "grad_rel_l2": round(rel, 4), "flag_recommended": ok}
+        )
+    )
+    return True if ok else None  # None = advisory, never fails the run
+
+
 def phase_celeba(
     model_path: str, dataset_loc: str, steps: int, wild: bool,
     model_cfgs=(), cfg_overrides=None, completion_only: bool = False,
@@ -294,6 +368,9 @@ def selftest(models: tuple[str, ...] = ("sd15", "sd21", "sdxl")) -> dict:
             results[f"{name}_latent_warp"] = phase_latent_warp(
                 ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
             )
+            results[f"{name}_capture_dtype"] = phase_capture_dtype(
+                ckpt, 64, model_cfgs=(ucfg, vcfg), cfg_overrides=overrides
+            )
             results[f"{name}_celeba_pipeline"] = phase_celeba(
                 ckpt, data, steps=8, wild=False, model_cfgs=(ucfg, vcfg),
                 cfg_overrides=dict(
@@ -361,6 +438,9 @@ def main():
         args.model_path, args.image_size, cfg_overrides=type_overrides
     )
     results["latent_warp"] = phase_latent_warp(
+        args.model_path, args.image_size, cfg_overrides=type_overrides
+    )
+    results["capture_dtype"] = phase_capture_dtype(
         args.model_path, args.image_size, cfg_overrides=type_overrides
     )
     if args.dataset_loc:
