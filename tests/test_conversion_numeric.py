@@ -33,7 +33,7 @@ from stablekeypoints_tpu.models import weights as W
 # derived by INVERTING the conversion rules against the Flax shape tree
 
 
-pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+pytestmark = [pytest.mark.slow, pytest.mark.oracle]  # model-heavy torch-oracle A/B
 
 
 # the fabricator lives in the package now (models/weights.py) — it also

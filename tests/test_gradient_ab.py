@@ -46,7 +46,7 @@ from stablekeypoints_tpu.ops.selection import furthest_point_sampling, select_ca
 from stablekeypoints_tpu.ops.transforms import AffineParams, apply_affine, make_theta
 from stablekeypoints_tpu.pipeline.runtime import collect_maps
 
-pytestmark = pytest.mark.slow  # model-heavy: excluded from the smoke subset
+pytestmark = [pytest.mark.slow, pytest.mark.oracle]  # model-heavy torch-oracle A/B
 
 
 ref = load_reference()

@@ -8,10 +8,13 @@ GEGLU, attention softmax scaling, and the timestep embedding layout.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
 from stablekeypoints_tpu.models import layers as L
+
+pytestmark = pytest.mark.oracle  # torch-oracle A/B: -m "not oracle" skips
 
 
 def test_group_norm_matches_torch():

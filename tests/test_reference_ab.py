@@ -49,6 +49,10 @@ from stablekeypoints_tpu.pipeline.runtime import collect_maps
 
 ref = load_reference()
 
+# torch-oracle A/B tests: deselectable as a block (-m "not oracle") to keep
+# local iteration fast while CI runs the full matrix
+pytestmark = pytest.mark.oracle
+
 
 def _maps(rng, t=24, h=32, w=32):
     # peaked random heatmaps (softmax-of-noise plus a bump) so argmaxes,
