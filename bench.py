@@ -102,17 +102,23 @@ def bench_detect():
     Same one-line JSON contract; vs_baseline uses the reference's measured
     ~1.1 s/image A100 analog derived the same way as the train denominator.
     """
-    sdxl = os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl"
-    batch = int(os.environ.get("BENCH_BATCH", "1" if sdxl else "4"))  # eval_batch_images
+    model = os.environ.get("BENCH_MODEL", "sd15").lower()
+    defaults = {"sd15": ("4", "512"), "sd21": ("2", "768"), "sdxl": ("1", "1024")}
+    if model not in defaults:
+        sys.exit(f"BENCH_MODEL={model!r}: expected one of {sorted(defaults)}")
+    batch = int(os.environ.get("BENCH_BATCH", defaults[model][0]))  # eval_batch_images
     steps = int(os.environ.get("BENCH_STEPS", "5"))
-    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "1024" if sdxl else "512"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", defaults[model][1]))
     cfg = Config(
         dataset_name="synthetic",
-        model_type="sdxl" if sdxl else Config.model_type,
+        model_type=Config.model_type if model == "sd15" else model,
         image_size=image_size,
         num_tokens=int(os.environ.get("BENCH_NUM_TOKENS", "500")),
         dtype="bfloat16",
         eval_batch_images=batch,
+        eval_views_per_pass=int(
+            os.environ.get("BENCH_VIEWS_PER_PASS", Config.eval_views_per_pass)
+        ),
         latent_warp=os.environ.get("BENCH_LATENT_WARP", "0") == "1",
     )
     runtime = Runtime.create(cfg)
@@ -135,14 +141,20 @@ def bench_detect():
     print(
         json.dumps(
             {
-                "metric": f"{'sdxl' if sdxl else 'sd15'}_detect_seconds_per_image",
+                "metric": f"{model}_detect_seconds_per_image",
                 "value": round(sec_per_image, 4),
                 "unit": f"s/image ({cfg.augmentation_iterations}-view {image_size}^2 "
                 f"ensemble, batch {batch}"
                 + (", latent_warp" if cfg.latent_warp else ", reference-exact") + ")",
                 "vs_baseline": round(1.1 / sec_per_image, 2),
                 "baseline_note": "A100 ref derived ~1.1 s/image for SD-1.5 serial "
-                "views (BASELINE.md); reference publishes no numbers",
+                "views (BASELINE.md); reference publishes no numbers"
+                + (
+                    ""
+                    if model == "sd15"
+                    else f"; denominator is the SD-1.5 analog ({model} has no "
+                    "working reference path to derive from)"
+                ),
             }
         )
     )
@@ -251,7 +263,13 @@ def main():
         f"{steady})",
         "vs_baseline": round(per_chip / REFERENCE_A100_STEPS_PER_SEC, 2),
         "baseline_note": "A100 ref derived at 0.6 steps/s (BASELINE.md); "
-        "reference publishes no numbers",
+        "reference publishes no numbers"
+        + (
+            ""
+            if model == "sd15"
+            else f"; denominator is the SD-1.5 analog ({model} has no "
+            "working reference path to derive from)"
+        ),
     }
     if "fill" in results and "hit" in results:
         out["fill_steps_per_sec_per_chip"] = round(results["fill"][0], 4)

@@ -22,16 +22,19 @@ __all__ = ["flash_self_attention", "flash_cross_attention", "flash_supported"]
 
 
 def _divisor_block(n: int, cap: int) -> int:
-    """Largest preferred block size <= cap that DIVIDES n (the stock flash
-    kernel asserts seq % block == 0). Power-of-two images give power-of-two
-    sequences where this equals min(cap, n), but non-power shapes exist in
-    production (SD-2.1-native 768^2 -> 48^2 = 2304 queries); falling through
-    to 128 (the lane tile, guaranteed by flash_supported) keeps them legal
-    rather than crashing at compile."""
+    """Largest lane-aligned (multiple-of-128) block size <= cap that DIVIDES
+    n (the stock flash kernel asserts seq % block == 0). Power-of-two images
+    give power-of-two sequences where this equals min(cap, n), but non-power
+    shapes exist in production (SD-2.1-native 768^2 -> 48^2 = 2304 queries):
+    searching all x128 divisors instead of only powers of two lifts those
+    layers from 256-wide blocks to 768/1152 under the same caps (measured
+    on-chip: sd21 768^2 train step 3.449 -> 3.583 steps/s/chip hit,
+    3.165 -> 3.271 fill; BENCH_MATRIX.md). 128 is the lane tile,
+    guaranteed to divide by flash_supported."""
     if n <= cap:
         return n
-    for b in (2048, 1024, 512, 256, 128):
-        if b <= cap and n % b == 0:
+    for b in range(cap - cap % 128, 127, -128):
+        if n % b == 0:
             return b
     return n  # unreachable when flash_supported gated (n % 128 == 0)
 

@@ -116,10 +116,15 @@ def test_divisor_block_non_power_of_two_seqs():
 
     assert _divisor_block(4096, 1024) == 1024   # power-of-two: unchanged
     assert _divisor_block(512, 1024) == 512     # n <= cap: whole seq
-    assert _divisor_block(2304, 1024) == 256    # 48^2 (768px): 2304 % 1024 != 0
-    assert _divisor_block(9216, 2048) == 1024   # 96^2: 9216 % 2048 != 0
+    # non-power shapes pick the largest x128 divisor <= cap (not just
+    # powers of two): 48^2 (768px) = 2304 = 128*18
+    assert _divisor_block(2304, 1024) == 768
+    assert _divisor_block(2304, 2048) == 1152
+    assert _divisor_block(2304, 512) == 384
+    assert _divisor_block(9216, 2048) == 1536   # 96^2 = 128*72
     assert _divisor_block(25600, 1024) == 1024  # 160^2 (1280px)
-    assert _divisor_block(640, 512) == 128      # padded kv of 640 tokens
+    # 640 = 128*5: no x128 divisor between 128 and 512 (320 isn't x128)
+    assert _divisor_block(640, 512) == 128
 
 
 def test_flash_non_power_of_two_seq_matches_einsum():

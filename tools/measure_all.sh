@@ -22,5 +22,7 @@ run BENCH_CAPTURE_DTYPE=bf16 BENCH_STEPS=20          # bf16 capture-map ablation
 run BENCH_LATENT_WARP=1 BENCH_STEPS=20               # approximation ablation
 run BENCH_MODE=detect BENCH_STEPS=5                  # eval path, exact
 run BENCH_MODE=detect BENCH_LATENT_WARP=1 BENCH_STEPS=5
+run BENCH_MODE=detect BENCH_MODEL=sd21 BENCH_STEPS=5 # 768^2 ensemble
+run BENCH_MODE=detect BENCH_MODEL=sdxl BENCH_STEPS=5 # 1024^2 ensemble
 echo "done $(date -u +%FT%TZ)" >> "$LOG"
 cat "$LOG"

@@ -1,12 +1,12 @@
 """Capture an on-chip profile of the stage-1 train step and print top ops.
 
 Runs the same workload as bench.py (SD-1.5, 512^2, 500 tokens, 128^2 capture,
-batch 4, latent cache on — or SDXL 1024^2 batch 1 with --model sdxl) under
-jax.profiler, then parses the xplane trace with tensorflow's profiler protos
-and prints the top-k ops by self time.
+batch 4, latent cache on — or SD-2.1 768^2 batch 2 / SDXL 1024^2 batch 1
+via --model) under jax.profiler, then parses the xplane trace with
+tensorflow's profiler protos and prints the top-k ops by self time.
 
-Usage: python tools/profile_step.py [--steps 5] [--top 40] [--model sdxl]
-       [--cache 0] [--latent_warp]
+Usage: python tools/profile_step.py [--steps 5] [--top 40]
+       [--model sd15|sd21|sdxl] [--cache 0] [--latent_warp]
 """
 
 from __future__ import annotations
@@ -46,17 +46,17 @@ def main():
     ap.add_argument("--logdir", default="/tmp/skt_profile")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--cache", type=int, default=1)
-    ap.add_argument("--model", default="sd15", choices=("sd15", "sdxl"))
+    ap.add_argument("--model", default="sd15", choices=("sd15", "sd21", "sdxl"))
     ap.add_argument("--latent_warp", action="store_true")
     args = ap.parse_args()
 
-    sdxl = args.model == "sdxl"
+    defaults = {"sd15": (4, 512), "sd21": (2, 768), "sdxl": (1, 1024)}
     if args.batch is None:
-        args.batch = 1 if sdxl else 4
-    image_size = 1024 if sdxl else 512
+        args.batch = defaults[args.model][0]
+    image_size = defaults[args.model][1]
     cfg = Config(
         dataset_name="synthetic",
-        model_type="sdxl" if sdxl else Config.model_type,
+        model_type=Config.model_type if args.model == "sd15" else args.model,
         image_size=image_size,
         num_tokens=500,
         batch_size=args.batch,
