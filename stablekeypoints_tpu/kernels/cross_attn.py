@@ -1,0 +1,238 @@
+"""Pallas TPU kernel: KV-resident cross-attention (learned-token KV).
+
+Every cross-attention in this workload attends over the learned context —
+num_tokens <= 500 keys, ONE padded 128-lane tile of 512. The stock flash
+kernel treats this like a long-KV problem and pays for it outside the
+kernel: segment-id tensors materialized and padded per call, l/m residuals
+written lane-expanded [B, H, N, 128] then sliced [..., 0], and the backward
+re-broadcasting l/m/di back to [B, H, N, 128] as dense HBM tensors before
+each of its two kernels (~6 ms/step of pure HBM churn at the SD-1.5 512^2
+training shape, profiled).
+
+With the whole KV resident in VMEM none of that machinery is needed:
+
+  forward   grid (B, N/bn, H):  sim = q @ k^T -> one-pass softmax (masked by
+            in-kernel iota, no segment ids) -> out = p @ v. No residuals
+            beyond the inputs.
+  backward  grid (B, H, N/bn):  recomputes the [bn, t_pad] softmax tile
+            (an lse-residual variant was measured on-chip and REJECTED —
+            dynamic-sublane stores/loads of a [B, H, N] stats tensor cost
+            more than the max/exp/sum/div they save; same finding as the
+            capture kernel, see STATUS.md), di = rowsum(p * dp) computed
+            in-register (the stock kernel computes sum(o*do) as a separate
+            XLA reduction and broadcasts it), dq written per block, dk/dv
+            accumulated f32 in VMEM across the innermost query-block loop.
+
+The [bn, 512] similarity tile never exists in HBM in either direction.
+Numerics: f32 logits/softmax from bf16 q/k; p is cast to v.dtype for the
+PV matmul — exactly what the einsum fallback in models/layers.py does —
+so kernel vs fallback agree to bf16 tolerance. The round-3 resident-KV
+negative result (STATUS.md) was for SELF-attention, where seq-sized KV
+forces tiny query blocks under the VMEM limit; at KV = one tile the
+design wins instead of losing.
+
+Replaces the reference's torch SDP over learned tokens
+(ptp_utils.py:480-506) on the non-captured cross layers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cross_attention_resident", "cross_resident_supported"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _block_n(n: int, cap: int = 1024) -> int:
+    """Largest x128 divisor of n <= cap. The forward takes 2048-wide query
+    blocks (one [bn, t_pad] f32 sim tile + bf16 q/p fit VMEM comfortably and
+    bigger tiles amortize the VPU softmax); the backward keeps 1024 — it
+    holds p, dp, dsim plus the f32 dk/dv accumulators live at once."""
+    if n <= cap:
+        return n
+    for bn in range(cap - cap % 128, 127, -128):
+        if n % bn == 0:
+            return bn
+    return n
+
+
+def cross_resident_supported(seq: int, kv_seq: int, dim_head: int) -> bool:
+    """One padded KV tile resident in VMEM; query blocks on the lane grid.
+
+    seq >= 2048: measured on-chip (v5e, B8 H8 T500, bf16, 50 iters,
+    tools/kernel_microbench.py) the resident kernel wins fwd+bwd at every
+    live shape — N4096/D40 5.42 -> 2.19 ms, N1024/D80 2.33 -> 1.25,
+    N1024/D160 2.48 -> 1.53 — but the fwd-only path (detect/eval takes no
+    grads) regresses 3x at N1024/D80 (1.08 -> 3.32 ms) and slightly at
+    N4096/D40 (1.63 -> 1.87). The N1024 band therefore stays on flash:
+    its train win (~5 calls x ~1 ms/step) is smaller than its eval loss
+    (~5 calls x ~2 ms per merged view-forward), and the layer cannot know
+    whether its caller will differentiate. At seq >= 2048 the backward win
+    dwarfs the fwd cost, so the band is resident unconditionally."""
+    return seq % 128 == 0 and seq >= 2048 and kv_seq <= 1024 and dim_head <= 256
+
+
+def _softmax_tile(qh, kh, t_true, scale):
+    bn = qh.shape[0]
+    t_pad = kh.shape[0]
+    sim = jax.lax.dot_general(
+        qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (bn, t_pad), 1)
+    sim = jnp.where(col < t_true, sim, -jnp.inf)
+    return jax.nn.softmax(sim, axis=-1)  # exact 0 in padded columns
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, t_true: int, scale: float):
+    p = _softmax_tile(q_ref[0, 0], k_ref[0, 0], t_true, scale)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, t_true: int, scale: float
+):
+    qh = q_ref[0, 0]
+    kh = k_ref[0, 0]
+    vh = v_ref[0, 0]
+    doh = do_ref[0, 0]
+    p = _softmax_tile(qh, kh, t_true, scale)
+    dp = jax.lax.dot_general(
+        doh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    di = jnp.sum(p * dp, axis=-1, keepdims=True)
+    dsim = (p * (dp - di)) * scale  # 0 in padded columns (p == 0 there)
+    dsim_n = dsim.astype(kh.dtype)  # bf16 contraction -> MXU rate (see capture)
+    p_n = p.astype(vh.dtype)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        dsim_n, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jax.lax.dot_general(
+        dsim_n, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p_n, doh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _cross_core(q, k, v, t_true: int, scale: float, interpret: bool):
+    """q: [B, H, N, D] head-major; k, v: [B, H, T_pad, D] zero-padded."""
+    out, _ = _cross_fwd(q, k, v, t_true, scale, interpret)
+    return out
+
+
+def _cross_fwd(q, k, v, t_true, scale, interpret):
+    b, h, n, d = q.shape
+    t_pad = k.shape[2]
+    bn = _block_n(n, 2048)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, t_true=t_true, scale=scale),
+        grid=(b, h, n // bn),  # query-block innermost: k/v stay resident
+        in_specs=[
+            pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out, (q, k, v)
+
+
+def _cross_bwd(t_true, scale, interpret, res, do):
+    q, k, v = res
+    b, h, n, d = q.shape
+    t_pad = k.shape[2]
+    bn = _block_n(n)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, t_true=t_true, scale=scale),
+        grid=(b, h, n // bn),  # query-block innermost: dk/dv accumulate in VMEM
+        in_specs=[
+            pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bn, d), lambda i, hh, j: (i, hh, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t_pad, d), lambda i, hh, j: (i, hh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_cross_core.defvjp(_cross_fwd, _cross_bwd)
+
+
+def _run(q, k, v, scale, interpret):
+    """[B, N, heads, d] in/out; pads kv to the lane tile, head-major inside."""
+    t = k.shape[1]
+    t_pad = _round_up(t, 128)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    if t_pad != t:
+        pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        kt = jnp.pad(kt, pad)
+        vt = jnp.pad(vt, pad)
+    out = _cross_core(qt, kt, vt, t, scale, interpret)
+    return out.transpose(0, 2, 1, 3)
+
+
+def cross_attention_resident(
+    q: jnp.ndarray,  # [B, N, heads, d]
+    k: jnp.ndarray,  # [B, M, heads, d] — M <= 1024 (the learned tokens)
+    v: jnp.ndarray,
+    scale: float,
+    mesh=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns [B, N, heads, d] in q's dtype; f32 logits/softmax.
+
+    Same shard_map strategy as the other kernels: batch over 'data', heads
+    over 'model'; attention is head-local so no collective is needed.
+    """
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        b, _, h, _ = q.shape
+        n_data = mesh.shape.get("data", 1)
+        n_model = mesh.shape.get("model", 1)
+        if b % n_data == 0 and h % n_model == 0:
+            spec = P("data", None, "model", None)
+            return jax.shard_map(
+                lambda qs, ks, vs: _run(qs, ks, vs, scale, interpret),
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+                check_vma=False,  # pallas out_shapes carry no vma (jax 0.9)
+            )(q, k, v)
+    return _run(q, k, v, scale, interpret)

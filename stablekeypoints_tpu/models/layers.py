@@ -291,6 +291,10 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, m, self.heads, self.dim_head)
         v = v.reshape(b, m, self.heads, self.dim_head)
 
+        from stablekeypoints_tpu.kernels.cross_attn import (
+            cross_attention_resident,
+            cross_resident_supported,
+        )
         from stablekeypoints_tpu.kernels.flash import (
             flash_cross_attention,
             flash_self_attention,
@@ -299,9 +303,20 @@ class CrossAttention(nn.Module):
 
         if self.flash and context is None and flash_supported(n, m, self.dim_head):
             out = flash_self_attention(q, k, v, scale, mesh=self.mesh)
+        elif (
+            self.flash
+            and context is not None
+            and cross_resident_supported(n, m, self.dim_head)
+        ):
+            # long-seq cross-attention over the learned tokens: kv is ONE
+            # padded 128-lane tile, fully VMEM-resident — dedicated kernel,
+            # no segment ids / l/m/di broadcasts (see kernels/cross_attn.py)
+            out = cross_attention_resident(
+                q, k, v, scale, mesh=self.mesh, interpret=self.pallas_interpret
+            )
         elif self.flash and context is not None and flash_supported(n, n, self.dim_head):
-            # cross-attention: kv (the learned tokens) is padded to the
-            # 128-lane tile inside the kernel and masked via segment ids
+            # mid band (seq 1024): stock flash wins on per-invocation
+            # overhead; kv padded to the lane tile, masked via segment ids
             out = flash_cross_attention(q, k, v, scale, mesh=self.mesh)
         else:
             sim = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
