@@ -11,7 +11,7 @@ training shape, profiled).
 
 With the whole KV resident in VMEM none of that machinery is needed:
 
-  forward   grid (B, N/bn, H):  sim = q @ k^T -> one-pass softmax (masked by
+  forward   grid (B, H, N/bn):  sim = q @ k^T -> one-pass softmax (masked by
             in-kernel iota, no segment ids) -> out = p @ v. No residuals
             beyond the inputs.
   backward  grid (B, H, N/bn):  recomputes the [bn, t_pad] softmax tile
@@ -76,8 +76,14 @@ def cross_resident_supported(seq: int, kv_seq: int, dim_head: int) -> bool:
     its train win (~5 calls x ~1 ms/step) is smaller than its eval loss
     (~5 calls x ~2 ms per merged view-forward), and the layer cannot know
     whether its caller will differentiate. At seq >= 2048 the backward win
-    dwarfs the fwd cost, so the band is resident unconditionally."""
-    return seq % 128 == 0 and seq >= 2048 and kv_seq <= 1024 and dim_head <= 256
+    dwarfs the fwd cost, so the band is resident unconditionally.
+
+    The kv/dim_head bounds are the MEASURED envelope (t_pad=512, d<=160 —
+    every real SD/SD2/SDXL cross layer at num_tokens<=512 falls inside it);
+    beyond it (e.g. num_tokens>512) we route to stock flash rather than
+    trust untested VMEM-residency corners — the backward holds ~3x
+    [bn, t_pad] f32 tiles plus [t_pad, d] f32 accumulators live at once."""
+    return seq % 128 == 0 and seq >= 2048 and kv_seq <= 512 and dim_head <= 160
 
 
 def _softmax_tile(qh, kh, t_true, scale):

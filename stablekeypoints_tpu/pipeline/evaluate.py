@@ -5,6 +5,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
+from stablekeypoints_tpu.pipeline.ensemble_loop import ensemble_chunks
 from stablekeypoints_tpu.pipeline.metrics import apply_regressor, compute_metric
 from stablekeypoints_tpu.pipeline.runtime import Runtime
 from stablekeypoints_tpu.utils.artifacts import save_artifact
@@ -37,22 +38,17 @@ def evaluate(runtime: Runtime, dataset, context, indices, regressor, logger=None
         )
     all_values = []
     m = max(1, cfg.eval_batch_images)
-    for lo in range(0, len(order), m):
-        chunk = order[lo : lo + m]
-        samples = [dataset[int(di)] for di in chunk]
-        images = np.stack([np.asarray(s["img"], np.float32) for s in samples])
-        if images.shape[0] < m:  # pad the tail chunk to keep one jit shape
-            pad = np.repeat(images[-1:], m - images.shape[0], axis=0)
-            images = np.concatenate([images, pad])
-        key, sub = jax.random.split(key)
-        pts = np.asarray(runtime.augmented_keypoints_fn(context, images, idx_arr, sub))
+    n_chunks = -(-len(order) // m) if len(order) else 0
+    for ci, (samples, pts) in enumerate(
+        ensemble_chunks(runtime, dataset, order, context, idx_arr, key, m)
+    ):
         for s, found in zip(samples, pts):
             est = apply_regressor(found, reg)
             val = compute_metric(
                 cfg.evaluation_method, est, np.asarray(s["kpts"]), s.get("visibility")
             )
             all_values.append(val)
-        if logger is not None and (lo % (100 * m) < m or lo + m >= len(order)):
+        if logger is not None and (ci % 100 == 0 or ci + 1 == n_chunks):
             logger.log(
                 {
                     "stage": 5,

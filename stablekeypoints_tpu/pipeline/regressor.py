@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from stablekeypoints_tpu.ops.keypoints import find_max_pixel, pixel_from_weighted_avg
+from stablekeypoints_tpu.pipeline.ensemble_loop import ensemble_chunks
 from stablekeypoints_tpu.pipeline.metrics import swap_points
 from stablekeypoints_tpu.pipeline.runtime import Runtime
 
@@ -50,22 +51,16 @@ def precompute_all_keypoints(runtime: Runtime, dataset, context, indices, logger
     source, target, visibility = [], [], []
     idx_arr = np.asarray(indices, np.int32)
     m = max(1, cfg.eval_batch_images)
-    for lo in range(0, n, m):
-        chunk = order[lo : lo + m]
-        samples = [dataset[int(di)] for di in chunk]
-        images = np.stack([np.asarray(s["img"], np.float32) for s in samples])
-        if images.shape[0] < m:  # pad the tail chunk to keep one jit shape
-            pad = np.repeat(images[-1:], m - images.shape[0], axis=0)
-            images = np.concatenate([images, pad])
-        key, sub = jax.random.split(key)
-        pts = np.asarray(runtime.augmented_keypoints_fn(context, images, idx_arr, sub))
+    for ci, (samples, pts) in enumerate(
+        ensemble_chunks(runtime, dataset, order, context, idx_arr, key, m)
+    ):
         for s, p in zip(samples, pts):
             source.append(p)
             target.append(np.asarray(s["kpts"], np.float32))
             if "visibility" in s:
                 visibility.append(np.asarray(s["visibility"], np.float32))
-        if logger is not None and lo % (50 * m) < m:
-            logger.log({"stage": 3, "precomputed": lo + len(chunk), "total": n})
+        if logger is not None and ci % 50 == 0:
+            logger.log({"stage": 3, "precomputed": len(source), "total": n})
 
     vis = np.stack(visibility) if visibility else None
     return np.stack(source), np.stack(target), vis

@@ -144,20 +144,24 @@ class Runtime:
             )
         mesh = mesh if mesh is not None else pmesh.make_mesh(cfg.data_parallel)
         mesh_platform = mesh.devices.flat[0].platform
+        # interpret-mode follows the MESH platform unconditionally: the
+        # resident cross-attention kernel reads it even when pallas_capture
+        # is off (a non-TPU mesh with flash on would otherwise compile the
+        # kernel non-interpret and fail)
+        interp = mesh_platform != "tpu"
+        if interp != unet_config.pallas_interpret:
+            unet_config = dataclasses.replace(unet_config, pallas_interpret=interp)
         if cfg.pallas_capture != "off":
             # the kernel runs wherever the MESH lives (which may differ from
             # the default backend, e.g. a virtual CPU mesh on a TPU host)
             use = cfg.pallas_capture == "on" or mesh_platform == "tpu"
-            interp = mesh_platform != "tpu"
-            if (use, interp, cfg.capture_fp32_bwd) != (
+            if (use, cfg.capture_fp32_bwd) != (
                 unet_config.pallas_capture,
-                unet_config.pallas_interpret,
                 unet_config.capture_fp32_bwd,
             ):
                 unet_config = dataclasses.replace(
                     unet_config,
                     pallas_capture=use,
-                    pallas_interpret=interp,
                     capture_fp32_bwd=cfg.capture_fp32_bwd,
                 )
         want_cap_bf16 = cfg.capture_dtype == "bf16"

@@ -105,7 +105,9 @@ def export_detector(
     or a sequence of batch sizes: one blob is exported per size and
     ServedDetector dispatches on the input's leading dim.
     """
-    batches = sorted({int(b) for b in ((batch,) if isinstance(batch, int) else batch)})
+    batches = sorted(
+        {int(b) for b in ((batch,) if isinstance(batch, (int, np.integer)) else batch)}
+    )
     if not batches or any(b < 1 for b in batches):
         raise ValueError(f"batch sizes must be positive ints, got {batch!r}")
     ert = _single_device_runtime(runtime)

@@ -24,5 +24,16 @@ run BENCH_MODE=detect BENCH_STEPS=5                  # eval path, exact
 run BENCH_MODE=detect BENCH_LATENT_WARP=1 BENCH_STEPS=5
 run BENCH_MODE=detect BENCH_MODEL=sd21 BENCH_STEPS=5 # 768^2 ensemble
 run BENCH_MODE=detect BENCH_MODEL=sdxl BENCH_STEPS=5 # 1024^2 ensemble
+# latent_warp ablation for the non-sd15 backbones (VERDICT r4 missing #5)
+run BENCH_MODEL=sd21 BENCH_LATENT_WARP=1 BENCH_STEPS=10
+run BENCH_MODEL=sdxl BENCH_LATENT_WARP=1 BENCH_STEPS=10
+run BENCH_MODE=detect BENCH_MODEL=sd21 BENCH_LATENT_WARP=1 BENCH_STEPS=5
+run BENCH_MODE=detect BENCH_MODEL=sdxl BENCH_LATENT_WARP=1 BENCH_STEPS=5
+# exported-artifact serving latency + on-chip parity (VERDICT r4 #5)
+run BENCH_MODE=serving BENCH_STEPS=5
+# eval_batch_images scaling study (VERDICT r4 #7): detect s/image vs M
+run BENCH_MODE=detect BENCH_BATCH=1 BENCH_STEPS=5
+run BENCH_MODE=detect BENCH_BATCH=8 BENCH_STEPS=5
+run BENCH_MODE=detect BENCH_BATCH=16 BENCH_STEPS=3
 echo "done $(date -u +%FT%TZ)" >> "$LOG"
 cat "$LOG"
