@@ -60,8 +60,8 @@ from stablekeypoints_tpu.pipeline.runtime import Runtime
 # reference-math programs; baseline_derivation.json (committed) is the
 # authority, these literals are its rendered values (used if the JSON is
 # missing).
-_FALLBACK_TRAIN_DENOM = {"sd15": 0.6, "sd21": 0.6, "sdxl": 0.6}
-_FALLBACK_DETECT_DENOM = {"sd15": 1.1, "sd21": 1.1, "sdxl": 1.1}
+_FALLBACK_TRAIN_DENOM = {"sd15": 0.46, "sd21": 0.62, "sdxl": 0.31}
+_FALLBACK_DETECT_DENOM = {"sd15": 1.98, "sd21": 4.02, "sdxl": 11.87}
 
 
 def _derivation():

@@ -197,16 +197,22 @@ def reproj_extra_flops(unet_cfg, latent_hw: int, capture_res: int) -> float:
 
 
 def measure(model: str) -> dict:
-    """Compile the reference-math programs on the attached backend and
-    extract FLOP totals + conv/dot splits. Compile-only — nothing runs."""
+    """Compile the reference-math programs ON THE CPU BACKEND and extract
+    FLOP totals + conv/dot splits. Compile-only — nothing runs, so memory
+    never constrains the einsum path. CPU is load-bearing for the SPLIT:
+    TPU-optimized HLO rewrites every `dot` into dilated `convolution`
+    tricks (verified empirically), which makes a conv-vs-matmul split
+    unparseable there; CPU HLO keeps both ops in standard form, and FLOP
+    counts are backend-independent."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    assert jax.default_backend() == "cpu", (
+        "run under JAX_PLATFORMS=cpu (PYTHONPATH= JAX_PLATFORMS=cpu "
+        "python tools/derive_baseline.py ...): the conv/dot HLO split is "
+        "only parseable from CPU-compiled HLO"
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
     from stablekeypoints_tpu.config import Config
     from stablekeypoints_tpu.pipeline.runtime import Runtime
@@ -262,7 +268,12 @@ def measure(model: str) -> dict:
                 {"params": params}, l, t, c,
                 capture_res=cfg.feature_upsample_res, truncate=truncate,
             )
-            return [cc.astype(jnp.float32) for cc in caps]
+            out = [cc.astype(jnp.float32) for cc in caps]
+            if eps is not None:
+                # eps must be RETURNED or jax/XLA dead-code-eliminates the
+                # post-capture tail this variant exists to price
+                out.append(eps)
+            return out
 
         return cost(jax.jit(f, static_argnums=()).lower(rt.unet_params, latents, tsteps, ctx1))
 

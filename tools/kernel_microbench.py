@@ -100,6 +100,50 @@ def bench_flash(iters):
         )
 
 
+def bench_pad(iters):
+    """Head-dim padding trade study (VERDICT r4 #4): the d_head=40 flash
+    self-attention layers (SD-1.5 64^2, 8 heads x 40) contract over 40 of
+    the MXU's 128 lanes. Zero-padding q/k/v to d in {64, 128} is exact
+    (zero channels add nothing to logits; extra v columns slice off) but
+    trades pad/slice HBM copies + extra FLOPs for alignment. Measured
+    here at kernel level; adopt only on a >2% step-level win."""
+    from stablekeypoints_tpu.kernels.flash import flash_self_attention
+
+    b, n, h, d = 8, 4096, 8, 40
+    kq, kk, kv, kc = jax.random.split(jax.random.key(2), 4)
+    q = jax.random.normal(kq, (b, n, h, d), jnp.bfloat16)
+    k = jax.random.normal(kk, (b, n, h, d), jnp.bfloat16)
+    v = jax.random.normal(kv, (b, n, h, d), jnp.bfloat16)
+    cot = jax.random.normal(kc, (b, n, h, d), jnp.bfloat16)
+    scale = 1.0 / math.sqrt(d)  # logits unchanged by zero-padding
+
+    def padded(fn_d):
+        def f(q, k, v):
+            if fn_d == d:
+                return flash_self_attention(q, k, v, scale)
+            pad = [(0, 0), (0, 0), (0, 0), (0, fn_d - d)]
+            out = flash_self_attention(
+                jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad), scale
+            )
+            return out[..., :d]
+
+        return f
+
+    for target in (40, 64, 128):
+        fn = padded(target)
+        fwd = jax.jit(fn)
+        grad = jax.jit(
+            jax.grad(
+                lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) * cot),
+                (0, 1, 2),
+            )
+        )
+        print(
+            f"flash-pad  B{b} N{n} D{d}->{target}: fwd {_timeit(fwd, q, k, v, iters=iters):7.3f} ms"
+            f"   fwd+bwd {_timeit(grad, q, k, v, iters=iters):7.3f} ms"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
@@ -113,6 +157,8 @@ def main():
         bench_cross(args.iters)
     if "flash" in which:
         bench_flash(args.iters)
+    if "pad" in which:
+        bench_pad(args.iters)
 
 
 if __name__ == "__main__":
