@@ -88,6 +88,10 @@ class Config:
     capture_dtype: str = "fp32"  # fp32|bf16
     flash_attention: str = "auto"  # auto|on|off: flash kernel for long self-attn
     fused_groupnorm: str = "auto"  # auto|on|off: fused VAE GroupNorm+SiLU kernel
+    # auto|on|off: single-HBM-pass GN+SiLU+3x3conv(+residual) Pallas kernel
+    # in the VAE resblocks (kernels/gn_conv.py); per-layer shape gate, falls
+    # back to fused_groupnorm/XLA where unsupported
+    fused_gn_conv: str = "auto"
     # rematerialization of transformer blocks in the backward. auto = off
     # while the activation footprint (per-device merged batch x image area)
     # fits HBM — flash attention removed the seq^2 tensors, so storing

@@ -73,7 +73,28 @@ def _stats_kernel(x_ref, out_ref):
     out_ref[0, 1] += jnp.sum(xc * xc, axis=0)
 
 
-def _fused_impl(x, scale, bias, groups, eps, act, interpret):
+def gn_affine_coeffs(x, scale, bias, groups, eps, interpret, mesh=None):
+    """Pallas-stats GroupNorm folded into per-(batch, channel) affine
+    coefficients, WITHOUT applying them: returns (m_q, a, b_comp), all
+    [B, C] fp32, such that `(x - m_q)*a + b_comp` in x.dtype equals
+    GroupNorm(x)*scale+bias with the compensated center-first rounding
+    documented in `_fused_impl`. m_q already holds the x.dtype-rounded
+    mean (round once here, not at every consumer).
+
+    mesh: shard_map with batch on 'data' on multi-device meshes (GN stats
+    are per batch element, so batch sharding is exact)."""
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import PartitionSpec as P
+
+        n_data = mesh.shape.get("data", 1)
+        if x.shape[0] % n_data == 0:
+            return jax.shard_map(
+                lambda xs, s, bb: gn_affine_coeffs(xs, s, bb, groups, eps, interpret),
+                mesh=mesh,
+                in_specs=(P("data", None, None, None), P(), P()),
+                out_specs=(P("data", None), P("data", None), P("data", None)),
+                check_vma=False,
+            )(x, scale, bias)
     b, h, w, c = x.shape
     hw = h * w
     cg = c // groups
@@ -105,6 +126,14 @@ def _fused_impl(x, scale, bias, groups, eps, act, interpret):
     inv_c = jnp.repeat(inv, cg, axis=1)  # [B, C]
     mean_c = jnp.repeat(mean, cg, axis=1)
     a = inv_c * scale.astype(jnp.float32)[None]
+    m_q = mean_c.astype(x.dtype).astype(jnp.float32)  # the value actually subtracted
+    # (x - m_q)·a + b_comp == (x - mean)·a + bias exactly, in fp32 terms
+    b_comp = bias.astype(jnp.float32)[None] + (m_q - mean_c) * a  # [B, C]
+    return m_q, a, b_comp
+
+
+def _fused_impl(x, scale, bias, groups, eps, act, interpret):
+    m_q, a, b_comp = gn_affine_coeffs(x, scale, bias, groups, eps, interpret)
 
     # the APPLY stays in jnp: XLA fuses the (x-mean)*a+bias(+silu) into one
     # elementwise pass, and — unlike a custom-call result — that fusion's
@@ -123,9 +152,6 @@ def _fused_impl(x, scale, bias, groups, eps, act, interpret):
     # (up to half an input ulp, x1/std after scaling) is COMPENSATED into
     # the bias in fp32, so the remaining error is product-rounding only
     # (x - m_q is exact by Sterbenz for x within 2x of the mean).
-    m_q = mean_c.astype(x.dtype).astype(jnp.float32)  # the value actually subtracted
-    # (x - m_q)·a + b_comp == (x - mean)·a + bias exactly, in fp32 terms
-    b_comp = bias.astype(jnp.float32)[None] + (m_q - mean_c) * a  # [B, C]
     y = (x - m_q.astype(x.dtype)[:, None, None, :]) * a.astype(x.dtype)[
         :, None, None, :
     ] + b_comp.astype(x.dtype)[:, None, None, :]

@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fused_groupnorm", type=str, default=d.fused_groupnorm,
                    choices=["auto", "on", "off"],
                    help="fused Pallas VAE GroupNorm+SiLU kernel")
+    p.add_argument("--fused_gn_conv", type=str, default=d.fused_gn_conv,
+                   choices=["auto", "on", "off"],
+                   help="single-HBM-pass GN+SiLU+3x3conv(+residual) Pallas "
+                        "kernel in the VAE resblocks")
     p.add_argument("--flash_attention", type=str, default=d.flash_attention,
                    choices=["auto", "on", "off"],
                    help="Pallas flash kernel for long self-attention")

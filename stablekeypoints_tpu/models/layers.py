@@ -98,6 +98,27 @@ def _group_norm(
     return y.astype(dtype)
 
 
+def _group_norm_coeffs(x, scale, bias, groups: int = 32, eps: float = 1e-5):
+    """jnp fallback for kernels.groupnorm.gn_affine_coeffs: GroupNorm folded
+    into per-(batch, channel) affine coefficients (m_q, a, b_comp), with the
+    same compensated center-first x.dtype rounding. Consumers apply
+    `(x - m_q)*a + b_comp` in x.dtype (the fused-GN apply numerics)."""
+    b, h, w, c = x.shape
+    groups = math.gcd(groups, c)
+    xg = x.reshape(b, h * w, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), dtype=jnp.float32)  # [b, g]
+    var = jnp.mean(
+        jnp.square(xg.astype(jnp.float32) - mean[:, None, :, None]), axis=(1, 3)
+    )
+    inv = jax.lax.rsqrt(var + eps)
+    inv_c = jnp.repeat(inv, c // groups, axis=1)  # [b, c]
+    mean_c = jnp.repeat(mean, c // groups, axis=1)
+    a = inv_c * scale.astype(jnp.float32)[None]
+    m_q = mean_c.astype(x.dtype).astype(jnp.float32)
+    b_comp = bias.astype(jnp.float32)[None] + (m_q - mean_c) * a
+    return m_q, a, b_comp
+
+
 class GroupNorm(nn.Module):
     groups: int = 32
     eps: float = 1e-5
@@ -108,12 +129,30 @@ class GroupNorm(nn.Module):
     fused: bool = False
     fused_interpret: bool = False
     mesh: "object" = None
+    # return (m_q, a, b_comp) affine coefficients instead of applying them —
+    # the fused GN+SiLU+conv kernel (kernels/gn_conv.py) consumes these and
+    # applies norm+act inside the conv's HBM pass. Same param tree.
+    coeffs_only: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.coeffs_only:
+            from stablekeypoints_tpu.kernels.groupnorm import (
+                fused_group_norm_supported,
+                gn_affine_coeffs,
+            )
+
+            groups = math.gcd(self.groups, c)
+            if self.fused and fused_group_norm_supported(
+                x.shape[1] * x.shape[2], c, groups, self.fused_interpret
+            ):
+                return gn_affine_coeffs(
+                    x, scale, bias, groups, self.eps, self.fused_interpret, self.mesh
+                )
+            return _group_norm_coeffs(x, scale, bias, self.groups, self.eps)
         if self.fused:
             from stablekeypoints_tpu.kernels.groupnorm import (
                 fused_group_norm,
@@ -142,9 +181,16 @@ class Conv3x3Split(nn.Module):
     stride: int = 1
     asymmetric_pad: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    fused_interpret: bool = False
+    mesh: "object" = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        gn: Optional[tuple] = None,
+        residual: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         from stablekeypoints_tpu.ops.convsplit import conv3x3_spatial_split
 
         cin = x.shape[-1]
@@ -155,6 +201,16 @@ class Conv3x3Split(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32
         )
+        if gn is not None:
+            # fused GN-affine+SiLU+conv(+residual) single-HBM-pass kernel;
+            # callers gate on fused_gn_conv_supported (stride 1 only)
+            from stablekeypoints_tpu.kernels.gn_conv import fused_gn_silu_conv3x3
+
+            m, a, b_comp = gn
+            return fused_gn_silu_conv3x3(
+                x.astype(self.dtype), m, a, b_comp, kernel, bias,
+                residual=residual, interpret=self.fused_interpret, mesh=self.mesh,
+            )
         pad = (0, 1) if self.asymmetric_pad else (1, 1)
         y = conv3x3_spatial_split(
             x.astype(self.dtype), kernel.astype(self.dtype), self.stride, pad, pad,
@@ -174,6 +230,12 @@ class ResnetBlock(nn.Module):
     fused_interpret: bool = False
     mesh: "object" = None
     split_conv: bool = False  # Conv3x3Split instead of nn.Conv (VAE-only)
+    # collapse GN+SiLU+conv(+residual) into ONE HBM pass per conv via the
+    # Pallas kernel (kernels/gn_conv.py) — gated per layer on
+    # fused_gn_conv_supported; falls back to the unfused path otherwise.
+    # Parameter tree is identical either way (VAE-only, never-differentiated
+    # path; the kernel's custom_vjp recomputes so it is safe regardless).
+    fused_gn_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -181,11 +243,33 @@ class ResnetBlock(nn.Module):
             fused=self.fused_norm, fused_interpret=self.fused_interpret, mesh=self.mesh
         )
         if self.split_conv:
-            conv3 = lambda name: Conv3x3Split(self.out_channels, dtype=self.dtype, name=name)
+            conv3 = lambda name: Conv3x3Split(
+                self.out_channels, dtype=self.dtype, name=name,
+                fused_interpret=self.fused_interpret, mesh=self.mesh,
+            )
         else:
             conv3 = lambda name: nn.Conv(
                 self.out_channels, (3, 3), padding=1, dtype=self.dtype, name=name
             )
+        if self.fused_gn_conv and self.split_conv and not self.use_time_emb:
+            from stablekeypoints_tpu.kernels.gn_conv import fused_gn_conv_supported
+
+            bsz, hh, ww, cin = x.shape
+            cout = self.out_channels
+            if fused_gn_conv_supported(
+                hh, ww, cin, cout, 1, self.fused_interpret
+            ) and fused_gn_conv_supported(hh, ww, cout, cout, 1, self.fused_interpret):
+                residual = x
+                if cin != cout:
+                    residual = nn.Conv(
+                        cout, (1, 1), dtype=self.dtype, name="conv_shortcut"
+                    )(x)
+                gn1 = GroupNorm(eps=self.eps, act="silu", name="norm1",
+                                coeffs_only=True, **fused)(x)
+                h = conv3("conv1")(x.astype(self.dtype), gn=gn1)
+                gn2 = GroupNorm(eps=self.eps, act="silu", name="norm2",
+                                coeffs_only=True, **fused)(h)
+                return conv3("conv2")(h, gn=gn2, residual=residual.astype(self.dtype))
         residual = x
         h = GroupNorm(eps=self.eps, act="silu", name="norm1", **fused)(x)
         h = conv3("conv1")(h)

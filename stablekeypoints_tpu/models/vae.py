@@ -102,13 +102,14 @@ class Encoder(nn.Module):
     mesh: "object" = None
     fused_gn: bool = False
     fused_gn_interpret: bool = False
+    fused_gn_conv: bool = False  # one-HBM-pass GN+SiLU+conv (kernels/gn_conv.py)
 
     @nn.compact
     def __call__(self, x):
         cfg = self.config
         fused = dict(fused_norm=self.fused_gn,
                      fused_interpret=self.fused_gn_interpret, mesh=self.mesh,
-                     split_conv=True)
+                     split_conv=True, fused_gn_conv=self.fused_gn_conv)
         x = x.astype(self.dtype)
         x = Conv3x3Split(cfg.block_channels[0], dtype=self.dtype, name="conv_in")(x)
         for b, ch in enumerate(cfg.block_channels):
@@ -145,13 +146,14 @@ class Decoder(nn.Module):
     mesh: "object" = None
     fused_gn: bool = False
     fused_gn_interpret: bool = False
+    fused_gn_conv: bool = False
 
     @nn.compact
     def __call__(self, z):
         cfg = self.config
         fused = dict(fused_norm=self.fused_gn,
                      fused_interpret=self.fused_gn_interpret, mesh=self.mesh,
-                     split_conv=True)
+                     split_conv=True, fused_gn_conv=self.fused_gn_conv)
         z = z.astype(self.dtype)
         z = nn.Conv(cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv")(z)
         ch = cfg.block_channels[-1]
@@ -184,15 +186,16 @@ class VAE(nn.Module):
     mesh: "object" = None
     fused_gn: bool = False
     fused_gn_interpret: bool = False
+    fused_gn_conv: bool = False
 
     def setup(self):
         self.encoder = Encoder(
             self.config, self.dtype, self.flash, self.mesh,
-            self.fused_gn, self.fused_gn_interpret,
+            self.fused_gn, self.fused_gn_interpret, self.fused_gn_conv,
         )
         self.decoder = Decoder(
             self.config, self.dtype, self.flash, self.mesh,
-            self.fused_gn, self.fused_gn_interpret,
+            self.fused_gn, self.fused_gn_interpret, self.fused_gn_conv,
         )
 
     def encode_mean(self, images: jnp.ndarray) -> jnp.ndarray:

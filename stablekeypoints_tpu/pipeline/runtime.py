@@ -194,9 +194,13 @@ class Runtime:
         use_fused_gn = cfg.fused_groupnorm == "on" or (
             cfg.fused_groupnorm == "auto" and mesh_platform == "tpu"
         )
+        use_gn_conv = cfg.fused_gn_conv == "on" or (
+            cfg.fused_gn_conv == "auto" and mesh_platform == "tpu"
+        )
         vae = VAE(
             vae_config, dtype=dtype, flash=use_flash, mesh=kernel_mesh,
             fused_gn=use_fused_gn, fused_gn_interpret=mesh_platform != "tpu",
+            fused_gn_conv=use_gn_conv,
         )
         # the eval ensemble chunks views through lax.map; XLA wraps custom
         # calls inside while bodies in layout copies that make the adjacent

@@ -144,6 +144,74 @@ def bench_pad(iters):
         )
 
 
+def bench_gnconv(iters):
+    """Fused GN+SiLU+3x3conv(+residual) kernel (kernels/gn_conv.py) vs the
+    production unfused path (fused-GN stats kernel + split conv + residual)
+    at the SDXL VAE encoder's live shapes (batch 1, bf16, forward-only —
+    the VAE is never differentiated). The kernel's pitch is bandwidth:
+    ~(1 read + 1 write) of HBM per conv instead of the apply/conv/residual
+    passes XLA schedules."""
+    import numpy as np
+
+    from stablekeypoints_tpu.kernels.gn_conv import (
+        fused_gn_conv_supported,
+        fused_gn_silu_conv3x3,
+    )
+    from stablekeypoints_tpu.kernels.groupnorm import fused_group_norm, gn_affine_coeffs
+    from stablekeypoints_tpu.ops.convsplit import conv3x3_spatial_split
+
+    rng = np.random.default_rng(7)
+    shapes = [  # (H, W, Cin, Cout, residual) — SDXL encoder levels at 1024^2
+        (1024, 1024, 128, 128, True),
+        (512, 512, 128, 256, False),   # conv1 of the channel-change block
+        (512, 512, 256, 256, True),
+        (256, 256, 256, 512, False),
+        (256, 256, 512, 512, True),
+        (128, 128, 512, 512, True),
+    ]
+    for hh, ww, cin, cout, with_res in shapes:
+        x = jnp.asarray(rng.normal(0, 1, (1, hh, ww, cin)), jnp.bfloat16)
+        scale = jnp.asarray(rng.normal(1, 0.2, (cin,)), jnp.float32)
+        bias = jnp.asarray(rng.normal(0, 0.2, (cin,)), jnp.float32)
+        kern = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), jnp.float32)
+        cb = jnp.asarray(rng.normal(0, 0.05, (cout,)), jnp.float32)
+        res = (
+            jnp.asarray(rng.normal(0, 1, (1, hh, ww, cout)), jnp.bfloat16)
+            if with_res
+            else None
+        )
+
+        def unfused(x, res):
+            h = fused_group_norm(x, scale, bias, 32, 1e-6, "silu")
+            y = conv3x3_spatial_split(
+                h, kern.astype(h.dtype), 1, (1, 1), (1, 1), preferred_element_type=None
+            ).astype(h.dtype) + cb.astype(h.dtype)
+            return res + y if res is not None else y
+
+        def fused(x, res):
+            m, a, b = gn_affine_coeffs(x, scale, bias, 32, 1e-6, False)
+            return fused_gn_silu_conv3x3(x, m, a, b, kern, cb, residual=res)
+
+        args = (x, res) if with_res else (x, None)
+        sup = fused_gn_conv_supported(hh, ww, cin, cout)
+        t_un = _timeit(jax.jit(unfused), *args, iters=iters)
+        t_fu = _timeit(jax.jit(fused), *args, iters=iters) if sup else float("nan")
+        # exactness check rides along (<= 1 bf16 ulp of the unfused path)
+        if sup:
+            d = float(
+                jnp.abs(
+                    jax.jit(fused)(*args).astype(jnp.float32)
+                    - jax.jit(unfused)(*args).astype(jnp.float32)
+                ).max()
+            )
+        else:
+            d = float("nan")
+        print(
+            f"gnconv H{hh} W{ww} {cin}->{cout} res={int(with_res)}: "
+            f"unfused {t_un:7.3f} ms   fused {t_fu:7.3f} ms   maxdiff {d:.4f}"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
@@ -159,6 +227,8 @@ def main():
         bench_flash(args.iters)
     if "pad" in which:
         bench_pad(args.iters)
+    if "gnconv" in which:
+        bench_gnconv(args.iters)
 
 
 if __name__ == "__main__":

@@ -9,7 +9,9 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 LOG=${1:-/root/repo/bench_matrix.jsonl}
 run() {
   echo "### $*" >> "$LOG"
-  timeout 2400 env "$@" python bench.py 2>/dev/null | tail -1 >> "$LOG"
+  # stderr goes to a side log so a failed row leaves a diagnosable trace
+  # (an empty row under its ### header means: check the .err log)
+  timeout 2400 env "$@" python bench.py 2>>"${LOG%.jsonl}.err" | tail -1 >> "$LOG"
 }
 echo "start $(date -u +%FT%TZ) device=$(python - <<'EOF' 2>/dev/null
 import jax; print(jax.devices()[0].device_kind)
