@@ -122,6 +122,12 @@ def test_supported_predicate():
     assert fused_gn_conv_supported(128, 128, 128, 128)
     assert fused_gn_conv_supported(1024, 1024, 128, 128)  # SDXL 1024^2 level
     assert fused_gn_conv_supported(512, 512, 128, 256)    # channel-change level
+    # admitted by the corrected VMEM model (weights single-buffered, residual
+    # counted only when fused) — each probed on-chip, compiles and wins
+    assert fused_gn_conv_supported(512, 512, 256, 256)
+    assert fused_gn_conv_supported(256, 256, 256, 512, has_res=False)
+    assert fused_gn_conv_supported(256, 256, 512, 512)
+    assert fused_gn_conv_supported(128, 128, 512, 512)
     assert not fused_gn_conv_supported(128, 128, 128, 128, stride=2)
     assert not fused_gn_conv_supported(128, 96, 96, 128)  # lane alignment
     assert not fused_gn_conv_supported(4, 128, 128, 128)  # too short
