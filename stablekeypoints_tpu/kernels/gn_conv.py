@@ -55,6 +55,17 @@ __all__ = ["fused_gn_silu_conv3x3", "fused_gn_conv_supported"]
 
 _VMEM_BUDGET = 13 * 1024 * 1024  # leave headroom under the ~16 MB scoped limit
 
+# shapes where the kernel MEASURED slower than the unfused path on-chip
+# (1xv5e, 20 iters, tools/kernel_microbench.py --which gnconv with
+# GNCONV_ALL_BACKBONES=1): deep 512-channel levels at w in {96, 192} where
+# conv FLOPs dominate, XLA's conv is already efficient, and the small row
+# tiles the VMEM budget forces (ts<=4) pay more grid/halo overhead than the
+# saved HBM passes. Every other live encoder shape of sd15/sd21/sdxl wins.
+_MEASURED_SLOWER = frozenset({
+    (192, 192, 512, 512),
+    (96, 96, 512, 512),
+})
+
 
 def _pick_ts(
     h: int, w: int, cin: int, cout: int, itemsize: int = 2, has_res: bool = True
@@ -92,10 +103,17 @@ def fused_gn_conv_supported(
 ) -> bool:
     """Stride-1 3x3 convs whose channels are lane-aligned and whose working
     set fits VMEM. Interpret mode (CPU tests, the multichip dryrun) relaxes
-    only the lane alignment — the geometry gates are semantic."""
+    only the alignment gates — the geometry gates are semantic.
+
+    Block shapes put (w, c) in the tiled last-two dims, so Mosaic needs
+    w % 8 and c % 128 — NOT w % 128 (the first gate over-required it;
+    relaxing admits sd21's 192^2/96^2 encoder levels and the 64^2 level of
+    the 512^2 encoders; probed on-chip before adoption, see BENCH/STATUS)."""
     if stride != 1 or h < 8 or w < 8:
         return False
-    if not interpret and (cin % 128 != 0 or cout % 128 != 0 or w % 128 != 0):
+    if not interpret and (cin % 128 != 0 or cout % 128 != 0 or w % 8 != 0):
+        return False
+    if not interpret and (h, w, cin, cout) in _MEASURED_SLOWER:
         return False
     return _pick_ts(h, w, cin, cout, has_res=has_res) > 0
 

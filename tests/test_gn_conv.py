@@ -128,8 +128,16 @@ def test_supported_predicate():
     assert fused_gn_conv_supported(256, 256, 256, 512, has_res=False)
     assert fused_gn_conv_supported(256, 256, 512, 512)
     assert fused_gn_conv_supported(128, 128, 512, 512)
+    # w needs only sublane (x8) alignment — the tiled last-two block dims
+    # are (w, c); admits sd21's 192^2/96^2 levels and the 64^2 level
+    assert fused_gn_conv_supported(192, 192, 256, 512, has_res=False)
+    assert fused_gn_conv_supported(64, 64, 512, 512)
+    # measured slower on-chip -> skip-listed (kernels/gn_conv._MEASURED_SLOWER)
+    assert not fused_gn_conv_supported(96, 96, 512, 512)
+    assert not fused_gn_conv_supported(192, 192, 512, 512)
     assert not fused_gn_conv_supported(128, 128, 128, 128, stride=2)
-    assert not fused_gn_conv_supported(128, 96, 96, 128)  # lane alignment
+    assert not fused_gn_conv_supported(128, 96, 96, 128)  # channel lanes
+    assert not fused_gn_conv_supported(128, 100, 128, 128)  # w sublanes
     assert not fused_gn_conv_supported(4, 128, 128, 128)  # too short
     # interpret relaxes lanes only
     assert fused_gn_conv_supported(16, 16, 16, 32, interpret=True)

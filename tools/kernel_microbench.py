@@ -169,6 +169,21 @@ def bench_gnconv(iters):
         (256, 256, 512, 512, True),
         (128, 128, 512, 512, True),
     ]
+    if os.environ.get("GNCONV_ALL_BACKBONES", "0") == "1":
+        shapes += [  # sd21 768^2 levels (w%8 relaxation admits 192/96) ...
+            (768, 768, 128, 128, True),
+            (384, 384, 128, 256, False),
+            (384, 384, 256, 256, True),
+            (192, 192, 256, 512, False),
+            (192, 192, 512, 512, True),
+            (96, 96, 512, 512, True),
+            # ... and sd15 512^2 levels (64^2 likewise)
+            (512, 512, 128, 128, True),
+            (256, 256, 128, 256, False),
+            (256, 256, 256, 256, True),
+            (128, 128, 256, 512, False),
+            (64, 64, 512, 512, True),
+        ]
     for hh, ww, cin, cout, with_res in shapes:
         x = jnp.asarray(rng.normal(0, 1, (1, hh, ww, cin)), jnp.bfloat16)
         scale = jnp.asarray(rng.normal(1, 0.2, (cin,)), jnp.float32)
