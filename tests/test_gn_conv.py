@@ -184,6 +184,36 @@ def test_resnet_block_fused_matches_unfused(cin, cout):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_runtime_detect_fused_gn_conv_equivalent():
+    """Full ensemble detect path (Runtime.create -> augmented_keypoints_fn)
+    with cfg.fused_gn_conv on vs off: identical keypoints up to the kernel's
+    one-ulp rounding (on a CPU mesh the kernel runs in interpret mode —
+    same routing the multichip dryrun exercises)."""
+    from stablekeypoints_tpu.config import Config
+    from stablekeypoints_tpu.models.unet import tiny_unet_config
+    from stablekeypoints_tpu.models.vae import tiny_vae_config
+    from stablekeypoints_tpu.pipeline.runtime import Runtime
+
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    pts = {}
+    for mode in ("off", "on"):
+        cfg = Config(
+            dataset_name="synthetic", image_size=64, num_tokens=16,
+            feature_upsample_res=16, top_k=4, dtype="float32",
+            augmentation_iterations=2, eval_batch_images=2,
+            fused_gn_conv=mode, fused_groupnorm=mode,
+        )
+        rt = Runtime.create(cfg, tiny_unet_config(), tiny_vae_config())
+        ctx = rt.init_context()
+        idx = jnp.arange(cfg.top_k, dtype=jnp.int32)
+        pts[mode] = np.asarray(
+            rt.augmented_keypoints_fn(ctx, imgs, idx, jax.random.PRNGKey(1))
+        )
+    np.testing.assert_allclose(pts["on"], pts["off"], atol=2e-3)
+
+
 def test_vae_encoder_fused_matches_unfused():
     """Tiny VAE encode with fused_gn_conv on/off: same params, same latents
     (unsupported layers fall back per-layer; supported ones run the kernel)."""
