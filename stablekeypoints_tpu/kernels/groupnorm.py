@@ -79,7 +79,9 @@ def gn_affine_coeffs(x, scale, bias, groups, eps, interpret, mesh=None):
     [B, C] fp32, such that `(x - m_q)*a + b_comp` in x.dtype equals
     GroupNorm(x)*scale+bias with the compensated center-first rounding
     documented in `_fused_impl`. m_q already holds the x.dtype-rounded
-    mean (round once here, not at every consumer).
+    mean (round once here, not at every consumer). Differentiable: a
+    custom VJP recomputes through the jnp coefficient path, so consumers
+    (the GN+SiLU+conv kernel's own VJP backprops into m/a/b) stay safe.
 
     mesh: shard_map with batch on 'data' on multi-device meshes (GN stats
     are per batch element, so batch sharding is exact)."""
@@ -89,12 +91,16 @@ def gn_affine_coeffs(x, scale, bias, groups, eps, interpret, mesh=None):
         n_data = mesh.shape.get("data", 1)
         if x.shape[0] % n_data == 0:
             return jax.shard_map(
-                lambda xs, s, bb: gn_affine_coeffs(xs, s, bb, groups, eps, interpret),
+                lambda xs, s, bb: _coeffs_core(xs, s, bb, groups, eps, interpret),
                 mesh=mesh,
                 in_specs=(P("data", None, None, None), P(), P()),
                 out_specs=(P("data", None), P("data", None), P("data", None)),
                 check_vma=False,
             )(x, scale, bias)
+    return _coeffs_core(x, scale, bias, groups, eps, interpret)
+
+
+def _coeffs_impl(x, scale, bias, groups, eps, interpret):
     b, h, w, c = x.shape
     hw = h * w
     cg = c // groups
@@ -130,6 +136,30 @@ def gn_affine_coeffs(x, scale, bias, groups, eps, interpret, mesh=None):
     # (x - m_q)·a + b_comp == (x - mean)·a + bias exactly, in fp32 terms
     b_comp = bias.astype(jnp.float32)[None] + (m_q - mean_c) * a  # [B, C]
     return m_q, a, b_comp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _coeffs_core(x, scale, bias, groups, eps, interpret):
+    return _coeffs_impl(x, scale, bias, groups, eps, interpret)
+
+
+def _coeffs_fwd(x, scale, bias, groups, eps, interpret):
+    return _coeffs_impl(x, scale, bias, groups, eps, interpret), (x, scale, bias)
+
+
+def _coeffs_bwd(groups, eps, interpret, res, g):
+    # recompute through the jnp coefficient path (same math, no pallas —
+    # the stats kernel has no autodiff rule)
+    from stablekeypoints_tpu.models.layers import _group_norm_coeffs
+
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda *t: _group_norm_coeffs(*t, groups, eps), x, scale, bias
+    )
+    return vjp(g)
+
+
+_coeffs_core.defvjp(_coeffs_fwd, _coeffs_bwd)
 
 
 def _fused_impl(x, scale, bias, groups, eps, act, interpret):

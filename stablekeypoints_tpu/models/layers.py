@@ -140,6 +140,11 @@ class GroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.coeffs_only:
+            # the only consumer (fused_gn_silu_conv3x3) applies SiLU
+            # unconditionally — make that contract explicit
+            assert self.act == "silu", (
+                f"coeffs_only implies a SiLU-fused consumer; act={self.act!r}"
+            )
             from stablekeypoints_tpu.kernels.groupnorm import (
                 fused_group_norm_supported,
                 gn_affine_coeffs,
@@ -256,22 +261,38 @@ class ResnetBlock(nn.Module):
 
             bsz, hh, ww, cin = x.shape
             cout = self.out_channels
-            if fused_gn_conv_supported(
+            # the two convs gate INDEPENDENTLY (e.g. sd21's 192^2 block:
+            # conv1 (256->512) is a measured win while conv2 (512->512) is
+            # skip-listed — an all-or-nothing gate would forfeit conv1)
+            sup1 = fused_gn_conv_supported(
                 hh, ww, cin, cout, 1, self.fused_interpret, has_res=False
-            ) and fused_gn_conv_supported(
+            )
+            sup2 = fused_gn_conv_supported(
                 hh, ww, cout, cout, 1, self.fused_interpret, has_res=True
-            ):
+            )
+            if sup1 or sup2:
+                # normalize the CAST activation: coefficients must be
+                # rounded/compensated in the dtype the kernel applies them in
+                xc = x.astype(self.dtype)
                 residual = x
                 if cin != cout:
                     residual = nn.Conv(
                         cout, (1, 1), dtype=self.dtype, name="conv_shortcut"
                     )(x)
-                gn1 = GroupNorm(eps=self.eps, act="silu", name="norm1",
-                                coeffs_only=True, **fused)(x)
-                h = conv3("conv1")(x.astype(self.dtype), gn=gn1)
-                gn2 = GroupNorm(eps=self.eps, act="silu", name="norm2",
-                                coeffs_only=True, **fused)(h)
-                return conv3("conv2")(h, gn=gn2, residual=residual.astype(self.dtype))
+                residual = residual.astype(self.dtype)
+                if sup1:
+                    gn1 = GroupNorm(eps=self.eps, act="silu", name="norm1",
+                                    coeffs_only=True, **fused)(xc)
+                    h = conv3("conv1")(xc, gn=gn1)
+                else:
+                    h = GroupNorm(eps=self.eps, act="silu", name="norm1", **fused)(xc)
+                    h = conv3("conv1")(h)
+                if sup2:
+                    gn2 = GroupNorm(eps=self.eps, act="silu", name="norm2",
+                                    coeffs_only=True, **fused)(h)
+                    return conv3("conv2")(h, gn=gn2, residual=residual)
+                h = GroupNorm(eps=self.eps, act="silu", name="norm2", **fused)(h)
+                return residual + conv3("conv2")(h)
         residual = x
         h = GroupNorm(eps=self.eps, act="silu", name="norm1", **fused)(x)
         h = conv3("conv1")(h)

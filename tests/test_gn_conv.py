@@ -184,6 +184,60 @@ def test_resnet_block_fused_matches_unfused(cin, cout):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4, rtol=1e-4)
 
 
+def test_resnet_block_fused_is_differentiable():
+    """The 'safe anywhere' claim: grad through the fused path works (the
+    gn_conv VJP backprops into gn_affine_coeffs, which carries its own
+    custom VJP over the Pallas stats kernel) and matches the unfused path."""
+    from stablekeypoints_tpu.models.layers import ResnetBlock
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 16)), jnp.float32)
+    kw = dict(
+        out_channels=16, use_time_emb=False, eps=1e-6, dtype=jnp.float32,
+        split_conv=True, fused_interpret=True, fused_norm=True,
+    )
+    unfused = ResnetBlock(**kw)
+    fused = ResnetBlock(**kw, fused_gn_conv=True)
+    params = unfused.init(jax.random.PRNGKey(0), x)
+
+    def loss(mod):
+        return lambda p, x: jnp.sum(mod.apply(p, x).astype(jnp.float32) ** 2)
+
+    g1 = jax.grad(loss(fused), argnums=(0, 1))(params, x)
+    g2 = jax.grad(loss(unfused), argnums=(0, 1))(params, x)
+    for a_, b_ in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=2e-3, rtol=1e-3)
+
+
+def test_resnet_block_mixed_gating(monkeypatch):
+    """conv1 fused + conv2 unfused (the sd21 192^2 case where only the
+    channel-change conv wins): output still matches the fully unfused path."""
+    import stablekeypoints_tpu.kernels.gn_conv as G
+    from stablekeypoints_tpu.models.layers import ResnetBlock
+
+    real = G.fused_gn_conv_supported
+
+    def only_conv1(h, w, cin, cout, stride=1, interpret=False, has_res=True):
+        return real(h, w, cin, cout, stride, interpret, has_res) and not has_res
+
+    monkeypatch.setattr(G, "fused_gn_conv_supported", only_conv1)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 16)), jnp.float32)
+    kw = dict(
+        out_channels=32, use_time_emb=False, eps=1e-6, dtype=jnp.float32,
+        split_conv=True, fused_interpret=True,
+    )
+    fused = ResnetBlock(**kw, fused_gn_conv=True)
+    unfused = ResnetBlock(**kw)
+    params = unfused.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        fused.init(jax.random.PRNGKey(1), x)
+    )
+    y1 = unfused.apply(params, x)
+    y2 = fused.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=2e-4, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_runtime_detect_fused_gn_conv_equivalent():
     """Full ensemble detect path (Runtime.create -> augmented_keypoints_fn)

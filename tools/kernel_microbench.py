@@ -208,7 +208,7 @@ def bench_gnconv(iters):
             return fused_gn_silu_conv3x3(x, m, a, b, kern, cb, residual=res)
 
         args = (x, res) if with_res else (x, None)
-        sup = fused_gn_conv_supported(hh, ww, cin, cout)
+        sup = fused_gn_conv_supported(hh, ww, cin, cout, has_res=with_res)
         t_un = _timeit(jax.jit(unfused), *args, iters=iters)
         t_fu = _timeit(jax.jit(fused), *args, iters=iters) if sup else float("nan")
         # exactness check rides along (<= 1 bf16 ulp of the unfused path)

@@ -11,23 +11,37 @@ import sys
 
 
 def render(in_path: str, out_path: str) -> None:
-    header_meta, rows = "", []
+    # sessions are delimited by 'start ...' markers; the LATEST complete
+    # session is the authoritative table (earlier sessions measured earlier
+    # commits — history stays in the jsonl / git log)
+    sessions = []  # [(header_meta, rows)]
     env = ""
     with open(in_path) as f:
         for line in f:
             line = line.strip()
             if line.startswith("start "):
-                header_meta = line[len("start "):]
+                sessions.append([line[len("start "):], []])
+                env = ""
             elif line.startswith("### "):
                 env = line[4:]
-            elif line.startswith("{"):
-                rows.append((env, json.loads(line)))
+            elif line.startswith("{") and sessions:
+                sessions[-1][1].append((env, json.loads(line)))
+    # drop trailing aborted/empty sessions (a 'start' with no rows — e.g. a
+    # run killed during its first compile) rather than rendering nothing
+    while sessions and not sessions[-1][1]:
+        sessions.pop()
+    if not sessions:
+        raise SystemExit(f"no completed sessions in {in_path}")
+    header_meta, rows = sessions[-1]
+    n_prior = sum(len(r) for _, r in sessions[:-1])
 
     out = [
         "# BENCH_MATRIX — on-chip measurement matrix",
         "",
         f"Single session, `tools/measure_all.sh`: {header_meta}.",
-        "Raw JSON lines in `bench_matrix.jsonl` (same commit).",
+        "Raw JSON lines in `bench_matrix.jsonl` (same commit)"
+        + (f"; {n_prior} rows from earlier sessions kept there as history."
+           if n_prior else "."),
         "",
         "| bench (env) | metric | value | unit | vs_baseline | mfu | fill |",
         "|---|---|---|---|---|---|---|",
