@@ -44,6 +44,7 @@ anywhere.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -114,6 +115,11 @@ def fused_gn_conv_supported(
     if not interpret and (cin % 128 != 0 or cout % 128 != 0 or w % 8 != 0):
         return False
     if not interpret and (h, w, cin, cout) in _MEASURED_SLOWER:
+        return False
+    # experimental override for tools/encoder_ablation.py: fuse only levels
+    # with at least this many pixels (trace-time; unset = no constraint)
+    min_area = int(os.environ.get("GNCONV_MIN_AREA", "0"))
+    if not interpret and h * w < min_area:
         return False
     return _pick_ts(h, w, cin, cout, has_res=has_res) > 0
 

@@ -208,7 +208,9 @@ class Conv3x3Split(nn.Module):
         )
         if gn is not None:
             # fused GN-affine+SiLU+conv(+residual) single-HBM-pass kernel;
-            # callers gate on fused_gn_conv_supported (stride 1 only)
+            # callers gate on fused_gn_conv_supported (stride 1, symmetric
+            # padding only — the kernel has no other geometry)
+            assert self.stride == 1 and not self.asymmetric_pad
             from stablekeypoints_tpu.kernels.gn_conv import fused_gn_silu_conv3x3
 
             m, a, b_comp = gn
